@@ -1,0 +1,46 @@
+"""Gather-based 1-D linear interpolation usable under jit/vmap.
+
+Replaces the reference's ``scipy.interpolate.interp1d`` objects
+(reference: gpy_dla_detection/null_gp.py:66-93) with pure functions:
+a direct index computation on uniform grids (the learned models live on
+uniform rest-wavelength grids), and a ``searchsorted`` fallback for
+arbitrary grids.  Out-of-range queries clamp to the boundary value; the
+callers mask those pixels out.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def interp_uniform(x0, dx, values, xq):
+    """Linear interpolation of ``values`` sampled on the uniform grid
+    ``x0 + dx * arange(n)`` at query points ``xq``.
+
+    :param values: (n,) or (n, k) grid samples.
+    :param xq: (...,) query points.
+    :return: (...,) or (..., k).
+    """
+    n = values.shape[0]
+    t = (xq - x0) / dx
+    idx = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n - 2)
+    frac = jnp.clip(t - idx, 0.0, 1.0)
+    lo = jnp.take(values, idx, axis=0)
+    hi = jnp.take(values, idx + 1, axis=0)
+    if values.ndim == 2:
+        frac = frac[..., None]
+    return lo * (1.0 - frac) + hi * frac
+
+
+def interp(xg, values, xq):
+    """Linear interpolation on an arbitrary ascending grid ``xg``."""
+    n = xg.shape[0]
+    idx = jnp.clip(jnp.searchsorted(xg, xq, side="right") - 1, 0, n - 2)
+    x_lo = jnp.take(xg, idx)
+    x_hi = jnp.take(xg, idx + 1)
+    frac = jnp.clip((xq - x_lo) / (x_hi - x_lo), 0.0, 1.0)
+    lo = jnp.take(values, idx, axis=0)
+    hi = jnp.take(values, idx + 1, axis=0)
+    if values.ndim == 2:
+        frac = frac[..., None]
+    return lo * (1.0 - frac) + hi * frac

@@ -1,0 +1,95 @@
+"""Voigt absorption profiles vs the reference implementation."""
+
+import numpy as np
+import pytest
+
+from gpy_dla_detection_tpu.ops.voigt import (
+    instrumental_broadening,
+    voigt_absorption,
+    voigt_absorption_civ,
+    voigt_absorption_lls,
+)
+
+from .reference_oracle import import_reference
+
+
+def _wavelength_grid(n=1200, lo=3600.0):
+    # SDSS-like log-spaced grid, 1e-4 dex pixels
+    return lo * 10 ** (1e-4 * np.arange(n))
+
+
+@pytest.mark.parametrize(
+    "z_dla,log_nhi,num_lines",
+    [(2.5, 20.3, 3), (3.2, 21.8, 3), (2.1, 23.0, 1), (3.0, 20.0, 5)],
+)
+def test_voigt_absorption_matches_reference(z_dla, log_nhi, num_lines):
+    import_reference()
+    from gpy_dla_detection import voigt as ref_voigt
+
+    wl = _wavelength_grid()
+    nhi = 10.0**log_nhi
+    ref = ref_voigt.voigt_absorption(wl, nhi, z_dla, num_lines=num_lines)
+    got = np.asarray(voigt_absorption(wl, np.array([nhi]), np.array([z_dla]), num_lines))
+    assert got.shape == (1, wl.shape[0] - 6)
+    np.testing.assert_allclose(got[0], ref, atol=1e-8, rtol=1e-6)
+
+
+def test_voigt_absorption_no_broadening():
+    import_reference()
+    from gpy_dla_detection import voigt as ref_voigt
+
+    wl = _wavelength_grid(400)
+    ref = ref_voigt.voigt_absorption(wl, 10**20.5, 2.8, num_lines=3, broadening=False)
+    got = np.asarray(
+        voigt_absorption(wl, np.array([10**20.5]), np.array([2.8]), 3, broadening=False)
+    )
+    np.testing.assert_allclose(got[0], ref, atol=1e-8, rtol=1e-6)
+
+
+def test_voigt_absorption_batched_consistency():
+    wl = _wavelength_grid(600)
+    z = np.array([2.2, 2.5, 3.0])
+    nhi = 10 ** np.array([20.1, 21.0, 22.5])
+    batched = np.asarray(voigt_absorption(wl, nhi, z, 3))
+    for i in range(3):
+        single = np.asarray(voigt_absorption(wl, nhi[i : i + 1], z[i : i + 1], 3))
+        np.testing.assert_allclose(batched[i], single[0], rtol=1e-12)
+
+
+def test_voigt_lls_matches_reference():
+    import_reference()
+    from gpy_dla_detection import voigt_lls as ref_lls
+
+    wl = _wavelength_grid(1500, lo=3200.0)
+    nhi, z = 10**18.5, 2.7
+    ref = ref_lls.voigt_absorption(wl, nhi, z, num_lines=3)
+    got = np.asarray(voigt_absorption_lls(wl, np.array([nhi]), np.array([z]), 3))
+    np.testing.assert_allclose(got[0], ref, atol=1e-8, rtol=1e-6)
+
+
+def test_voigt_civ_matches_reference():
+    import_reference()
+    # the reference uses the long-removed np.float alias (voigt_civ.py:162)
+    if not hasattr(np, "float"):
+        np.float = np.float64
+    from gpy_dla_detection import voigt_civ as ref_civ
+
+    wl = 4700.0 * 10 ** (1e-4 * np.arange(800))
+    nciv, z, sig = 10**14.0, 2.1, 2.5e6
+    ref = ref_civ.voigt_absorption(wl, nciv, z, sig, num_lines=2)
+    got = np.asarray(
+        voigt_absorption_civ(wl, np.array([nciv]), np.array([z]), np.array([sig]), 2)
+    )
+    np.testing.assert_allclose(got[0], ref, atol=1e-8, rtol=1e-6)
+
+
+def test_instrumental_broadening_matches_convolve():
+    import_reference()
+    from gpy_dla_detection.voigt import instrument_profile
+
+    rng = np.random.default_rng(0)
+    raw = rng.uniform(0.2, 1.0, size=(2, 64))
+    got = np.asarray(instrumental_broadening(raw))
+    for i in range(2):
+        ref = np.convolve(raw[i], instrument_profile, "valid")
+        np.testing.assert_allclose(got[i], ref, rtol=1e-12)
