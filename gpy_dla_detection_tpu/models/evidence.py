@@ -63,6 +63,7 @@ def qmc_log_evidences(
     key: jax.Array,
     max_k: int,
     params: Parameters,
+    base_inds_override: jnp.ndarray | None = None,
 ) -> QMCEvidenceResult:
     """Marginalize the k-absorber models over the QMC sample set.
 
@@ -72,6 +73,9 @@ def qmc_log_evidences(
     :param log_nhi_samples, nhi_samples: (S,) column-density samples.
     :param key: PRNG key driving the importance resampling.
     :param max_k: number of absorber models (static).
+    :param base_inds_override: optional (max_k - 1, S) resampling
+        indices; replaces the categorical draws (used to reproduce a
+        reference run bit-for-bit in conformance tests).
     """
     S = offset_samples.shape[0]
     dtype = model.y.dtype
@@ -103,11 +107,14 @@ def qmc_log_evidences(
 
     for k0 in range(max_k):  # k0 = number of *additional* absorbers
         if k0 > 0:
-            logits = jnp.where(valid, ll_centered, -jnp.inf)  # noqa: F821
-            # if the previous level underflowed entirely, keep indices
-            # in-range with uniform logits (results are NaN-masked)
-            logits = jnp.where(alive, logits, jnp.zeros_like(logits))
-            base = jax.random.categorical(keys[k0 - 1], logits, shape=(S,))
+            if base_inds_override is not None:
+                base = base_inds_override[k0 - 1]
+            else:
+                logits = jnp.where(valid, ll_centered, -jnp.inf)  # noqa: F821
+                # if the previous level underflowed entirely, keep indices
+                # in-range with uniform logits (results are NaN-masked)
+                logits = jnp.where(alive, logits, jnp.zeros_like(logits))
+                base = jax.random.categorical(keys[k0 - 1], logits, shape=(S,))
             base_inds_rows.append(base)
             cum_extra = cum_extra * A[base]
             z_rows.append(z_samples[base])

@@ -18,3 +18,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# The axon TPU PJRT plugin registers itself even when JAX_PLATFORMS=cpu
+# is set, and becomes the default backend — which would silently run the
+# "float64" conformance tests at TPU f32 precision.  Pin dispatch to the
+# host CPU explicitly.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
+def cpu_devices():
+    return jax.devices("cpu")
