@@ -1,0 +1,97 @@
+"""Benchmark: full Bayesian model selection throughput on one chip.
+
+Reference workload per spectrum (BASELINE.md): 10,000 QMC samples x
+(4 DLA levels + 1 subDLA) + null evidence, rank-20 GP over ~1,250
+pixels — the reference Python takes ~4 minutes per spectrum on one CPU
+core (reference: run_bayes_select.py:233).
+
+Prints one JSON line: spectra/sec on the available accelerator, with
+vs_baseline = speedup over the reference's ~1/240 spectra/sec.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_SPECTRA_PER_SEC = 1.0 / 240.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gpy_dla_detection_tpu.data.samples import (
+        generate_dla_samples,
+        generate_subdla_samples,
+    )
+    from gpy_dla_detection_tpu.data.spectrum import astype, stack
+    from gpy_dla_detection_tpu.data.synthetic import (
+        synthetic_learned_model,
+        synthetic_spectrum,
+    )
+    from gpy_dla_detection_tpu.parallel.batch import batch_evidences
+    from gpy_dla_detection_tpu.params import Parameters
+
+    params = Parameters()  # full scale: 10k samples, 1280-pixel window
+    max_dlas = 4
+    batch = 8
+    dtype = jnp.float32
+
+    learned = synthetic_learned_model(params)
+    spectra = [
+        synthetic_spectrum(
+            params,
+            learned,
+            2.8 + 0.08 * i,
+            seed=i,
+            dlas=[(2.5 + 0.05 * i, 20.5)] if i % 2 else None,
+        )
+        for i in range(batch)
+    ]
+    specs = stack(spectra)
+    dla_s = generate_dla_samples(params)
+    sub_s = generate_subdla_samples(params)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+
+    def run():
+        out = batch_evidences(
+            learned,
+            specs,
+            dla_s,
+            sub_s,
+            keys,
+            params,
+            max_dlas,
+            mesh=None,
+            dtype=dtype,
+        )
+        jax.block_until_ready(out.dla.log_evidences)
+        return out
+
+    # warmup / compile
+    out = run()
+    assert np.isfinite(np.asarray(out.log_evidence_null)).all()
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    spectra_per_sec = batch / best
+    print(
+        json.dumps(
+            {
+                "metric": "spectra/sec (full Bayes selection: null + subDLA + 4-DLA, 10k QMC samples)",
+                "value": round(spectra_per_sec, 3),
+                "unit": "spectra/sec/chip",
+                "vs_baseline": round(spectra_per_sec / BASELINE_SPECTRA_PER_SEC, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

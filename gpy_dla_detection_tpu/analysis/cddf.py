@@ -1,0 +1,505 @@
+"""Column-density-function (CDDF) and abundance statistics.
+
+Host-side science post-processing of the processed catalog — the
+rebuild of the reference's ``DLACatalogue`` engine (reference:
+CDDF_analysis/calc_cddf.py:43-1342).  Computes, from the per-spectrum
+QMC sample likelihoods and model posteriors:
+
+* ``column_density_function``: f(N) = n_DLA / dN / dX,
+* ``line_density``: dN/dX(z),
+* ``omega_dla``: the HI mass density in DLAs,
+* exact Poisson-binomial confidence intervals via a DFT
+  (reference: calc_cddf.py:1282-1317), with Le Cam's Poisson
+  approximation for small per-sample probabilities.
+
+Everything here is numpy on the host: the data are per-catalog
+reductions of already-computed device outputs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from scipy import integrate
+from scipy.stats import poisson
+
+OMEGA_M = 0.279  # WMAP9, as in the reference (calc_cddf.py:1239-1245)
+
+
+# ---------------------------------------------------------------------------
+# cosmology helpers (reference: calc_cddf.py:1239-1333)
+# ---------------------------------------------------------------------------
+def hubble_by_h0(z, omega_m=OMEGA_M):
+    return np.sqrt(omega_m * (1 + z) ** 3 + (1 - omega_m))
+
+
+def path_length_integrand(z, omega_m=OMEGA_M):
+    """dX/dz = (1+z)^2 H0 / H(z)."""
+    return (1 + z) ** 2 / hubble_by_h0(z, omega_m)
+
+
+def rho_crit(hubble=0.7):
+    """Critical density at z=0 in g cm^-3."""
+    h100 = 3.2407789e-18 * hubble
+    gravcgs = 6.674e-8
+    return 3 * h100**2 / (8 * math.pi * gravcgs)
+
+
+# ---------------------------------------------------------------------------
+# Poisson-binomial machinery (reference: calc_cddf.py:1247-1317)
+# ---------------------------------------------------------------------------
+def _stable_complex_product(values):
+    """prod(z) = exp(sum log|z| + i sum arg z), with stable summation."""
+    rr = np.absolute(values)
+    theta = np.angle(values)
+    return np.exp(math.fsum(np.log(rr))) * np.exp(1j * math.fsum(theta))
+
+
+def poisson_binomial_pdf(probabilities):
+    """Exact PDF of the number of successes of independent Bernoulli
+    trials with the given probabilities, via the DFT method
+    (Fernandez & Williams 2010; reference: calc_cddf.py:1282-1305)."""
+    if len(probabilities) == 0:
+        return np.ones(1)
+    pp = np.concatenate([np.atleast_1d(p) for p in probabilities]).astype(np.float64)
+    n = pp.size
+    coeffs = np.empty((n + 1) // 2 + 1, dtype=np.complex128)
+    for k in range(coeffs.size):
+        w = np.exp(-2j * math.pi * k / (n + 1)) - 1.0
+        coeffs[k] = _stable_complex_product(1.0 + pp * w)
+    pdf = np.fft.irfft(coeffs, n=n + 1)
+    assert abs(math.fsum(pdf) - 1.0) < 1e-6
+    return pdf
+
+
+def interval(cdf, level, offset=0):
+    """Confidence interval of a discrete CDF at the given level
+    (reference: calc_cddf.py:1247-1266)."""
+    if np.size(cdf) == 1:
+        return (offset, offset)
+    high = 1 + offset
+    low = offset
+    idown = np.where(cdf < 0.5 - level / 2)[0]
+    if idown.size:
+        low += idown[-1] + 1
+    iup = np.where(cdf > 0.5 + level / 2)[0]
+    if iup.size:
+        high += iup[0]
+    else:
+        high = np.size(cdf)
+    return (low, high)
+
+
+def pdf_confidence(pdf, offset):
+    """(MAP, 68% interval, 95% interval) of a discrete pdf
+    (reference: calc_cddf.py:1268-1280)."""
+    cdf = np.cumsum(pdf)
+    maxlike = interval(cdf, 0.0, offset=offset)[0]
+    ll68 = interval(cdf, 0.68, offset=offset)
+    ll95 = interval(cdf, 0.95, offset=offset)
+    return maxlike, ll68, ll95
+
+
+def combine_with_poisson(pdf_pb, pmean):
+    """Convolve the Poisson-binomial pdf of the high-probability events
+    with a Poisson(pmean) for the low-probability tail
+    (reference: calc_cddf.py:1041-1059)."""
+    if pmean == 0.0:
+        return pdf_pb, 0
+    weak = poisson(pmean)
+    plow, phigh = (int(v) for v in weak.interval(1 - 1e-4))
+    dlow, dhigh = interval(np.cumsum(pdf_pb), 1 - 1e-4)
+    dhigh = min(dhigh + 1, np.size(pdf_pb))
+    pdf_comb = np.array(
+        [
+            math.fsum(weak.pmf(N - i) * pdf_pb[i] for i in range(dlow, dhigh))
+            for N in range(plow + dlow, phigh + dhigh)
+        ]
+    )
+    return pdf_comb, plow + dlow
+
+
+# ---------------------------------------------------------------------------
+# the catalog
+# ---------------------------------------------------------------------------
+class ProcessedCatalog:
+    """Statistics over a processed DLA catalog.
+
+    :param min_z_dlas, max_z_dlas: (Q,) per-spectrum search ranges.
+    :param model_posteriors: (Q, 1 + sub_dla + max_dlas).
+    :param sample_log_likelihoods: (Q, S, max_dlas) per-sample log
+        likelihoods (with the per-sample 1/S Occam factor, as stored by
+        the driver).
+    :param log_likelihoods_dla: (Q, max_dlas) DLA model log evidences.
+    :param base_sample_inds: (Q, S, max_dlas - 1) or (max_dlas-1, S, Q)
+        chained-sample indices (0-based).
+    :param offset_samples, log_nhi_samples: (S,) the QMC sample set.
+    :param snrs: optional (Q,) signal-to-noise ratios for SNR cuts.
+    :param occams_razor: extra posterior penalty on absorber models
+        (reference: calc_cddf.py:162-203).
+    """
+
+    def __init__(
+        self,
+        min_z_dlas,
+        max_z_dlas,
+        model_posteriors,
+        sample_log_likelihoods,
+        log_likelihoods_dla,
+        base_sample_inds,
+        offset_samples,
+        log_nhi_samples,
+        snrs=None,
+        sub_dla=True,
+        occams_razor=1,
+        snr_thresh=-2.0,
+        lowzcut=False,
+        max_k=1,
+    ):
+        self._z_min = np.asarray(min_z_dlas)
+        self._z_max = np.asarray(max_z_dlas)
+        self.sub_dla = int(bool(sub_dla))
+        self.max_k = max_k
+
+        self.sample_log_likelihoods = np.asarray(sample_log_likelihoods)
+        self.log_likelihoods_dla = np.atleast_2d(np.asarray(log_likelihoods_dla))
+        base = np.asarray(base_sample_inds)
+        if base.ndim == 3 and base.shape[1] != self.sample_log_likelihoods.shape[1]:
+            base = np.moveaxis(base, 0, -1)  # (Q, S, k-1)
+        self.base_sample_inds = base
+
+        self.z_offsets = np.asarray(offset_samples)
+        self.lnhi_vals = np.asarray(log_nhi_samples)
+
+        self.snrs = np.asarray(snrs) if snrs is not None else None
+        self.snr_thresh = snr_thresh
+        self.lowzcut = lowzcut
+        self.proximity_zone = 0.1
+        self.bins_per_z = 6
+
+        # thresholds (reference: calc_cddf.py:88-96)
+        self.p_thresh_spec = 5e-2
+        self.p_thresh_sample = 1e-4
+        self.p_switch = 0.25
+
+        # occam renormalization of the model posteriors
+        # (reference: calc_cddf.py:182-203)
+        mp = np.array(model_posteriors, dtype=np.float64)
+        mp[:, 1:] = mp[:, 1:] / occams_razor
+        mp = mp / mp.sum(axis=1, keepdims=True)
+        self.model_posteriors = mp
+        self.p_dla = mp[:, 1 + self.sub_dla :].sum(axis=1)
+        self.p_no_dla = mp[:, : 1 + self.sub_dla].sum(axis=1)
+
+        self._log_norm_like_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_file(cls, processed_file, sample_file=None, snrs_file=None, **kw):
+        """Load from a processed HDF5 catalog written by this framework
+        or by the reference driver (reference: calc_cddf.py:72-158)."""
+        import h5py
+
+        with h5py.File(processed_file, "r") as f:
+            sll = np.asarray(f["sample_log_likelihoods_dla"])
+            # reference/MATLAB layouts can be transposed; want (Q, S, k)
+            if sll.ndim == 2:
+                sll = sll.T[:, :, None]
+            elif sll.shape[0] < sll.shape[1] and sll.shape[0] < sll.shape[2]:
+                sll = np.moveaxis(sll, 0, -1)
+            lld = np.atleast_2d(np.asarray(f["log_likelihoods_dla"]))
+            if lld.shape[0] < lld.shape[1] and lld.shape[0] <= 8:
+                lld = lld.T
+            mp = np.asarray(f["model_posteriors"])
+            if mp.shape[0] < mp.shape[1] and mp.shape[0] <= 8:
+                mp = mp.T
+            base = np.asarray(f["base_sample_inds"])
+            min_z = np.ravel(f["min_z_dlas"])
+            max_z = np.ravel(f["max_z_dlas"])
+
+            if sample_file is not None:
+                with h5py.File(sample_file, "r") as sf:
+                    offsets = sf["offset_samples"][:, 0]
+                    lnhi = sf["log_nhi_samples"][:, 0]
+            else:
+                raise ValueError("sample_file required")
+
+        snrs = None
+        if snrs_file is not None:
+            with h5py.File(snrs_file, "r") as ff:
+                arr = np.asarray(ff["snrs"])
+                snrs = arr[0] if arr.ndim == 2 else arr
+
+        return cls(
+            min_z, max_z, mp, sll, lld, base, offsets, lnhi, snrs=snrs, **kw
+        )
+
+    # ------------------------------------------------------------------
+    def z_min(self, spec=None):
+        return self._z_min if spec is None else self._z_min[spec]
+
+    def z_max(self, spec=None):
+        return self._z_max if spec is None else self._z_max[spec]
+
+    def proximity(self, zqso):
+        return zqso - self.proximity_zone
+
+    def _snr_mask(self):
+        if self.snrs is None:
+            return np.ones_like(self._z_min, dtype=bool)
+        return self.snrs > self.snr_thresh
+
+    def _p_dla_k(self, second):
+        """P(at least 1 DLA) for second=0; P(exactly k+1 DLAs) else."""
+        if not second:
+            return self.p_dla
+        return self.model_posteriors[:, int(second) + 1 + self.sub_dla]
+
+    def filter_dla_spectra(self, second=0):
+        """Spectra above the DLA-probability and SNR thresholds
+        (reference: calc_cddf.py:477-492)."""
+        return np.where(
+            (self._p_dla_k(second) > self.p_thresh_spec) & self._snr_mask()
+        )[0]
+
+    def log_norm_like(self, spec, second=0):
+        """Per-sample normalized log likelihood of the DLA(second+1)
+        model for one spectrum (reference: calc_cddf.py:407-476)."""
+        key = (spec, second)
+        if key not in self._log_norm_like_cache:
+            ll = np.array(self.sample_log_likelihoods[spec, :, second])
+            ll[np.isnan(ll)] = -1e30
+            S = ll.shape[0]
+            norm = self.log_likelihoods_dla[spec, second] + np.log(S) * (second + 1)
+            self._log_norm_like_cache[key] = ll - norm
+        return self._log_norm_like_cache[key]
+
+    def sample_params(self, spec, second=0):
+        """(log_nhi, z) of each sample for this spectrum; for k >= 2
+        the chained sample's parameters (reference: calc_cddf.py:903-920)."""
+        redshifts = self.z_min(spec) + (
+            self.z_max(spec) - self.z_min(spec)
+        ) * self.z_offsets
+        lnhi = self.lnhi_vals
+        if second:
+            base = self.base_sample_inds[spec, :, second - 1]
+            lnhi = lnhi[base]
+            redshifts = redshifts[base]
+        return lnhi, redshifts
+
+    def prob_dla_per_sample(self, spec, index, second=0):
+        """P(DLA at the sampled parameters) for the selected samples
+        (reference: calc_cddf.py:922-943)."""
+        if not second:
+            return (
+                np.exp(self.log_norm_like(spec, 0)[index]) * self.p_dla[spec]
+            )
+        total = np.zeros(np.size(index))
+        for i in range(int(second) + 1):
+            p_k = self.model_posteriors[spec, i + 1 + self.sub_dla]
+            total += np.exp(self.log_norm_like(spec, second)[index]) * p_k
+        return total
+
+    # ------------------------------------------------------------------
+    def path_length(self, z_min, z_max):
+        """Total absorption path dX searched between z_min and z_max
+        (reference: calc_cddf.py:552-604)."""
+        assert z_min < z_max
+        ind = self._snr_mask()
+        max_z = self._z_max[ind].copy()
+        min_z = self._z_min[ind]
+        if self.lowzcut:
+            max_z = np.maximum(np.minimum(max_z, self.proximity(max_z)), min_z)
+        sel = (min_z < z_max) & (max_z > z_min)
+        max_z, min_z = max_z[sel], min_z[sel]
+
+        whole = (max_z > z_max) & (min_z < z_min)
+        tbin, _ = integrate.quad(path_length_integrand, z_min, z_max)
+        total = np.count_nonzero(whole) * tbin
+        for zmin, zmax in zip(min_z[~whole], max_z[~whole]):
+            lo, hi = max(z_min, zmin), min(z_max, zmax)
+            if hi > lo:
+                ans, _ = integrate.quad(path_length_integrand, lo, hi)
+                total += ans
+        return total
+
+    # ------------------------------------------------------------------
+    def _split_distributions_single(
+        self, q_bins, lred, ured, lnhi_min, lnhi_max, nhi, second=0
+    ):
+        """Per-bin lists of per-sample DLA probabilities (large ones kept
+        exactly, small ones accumulated for the Poisson approximation)
+        (reference: calc_cddf.py:970-1039)."""
+        probs = [[] for _ in q_bins[:-1]]
+        poisson_list = [[] for _ in q_bins[:-1]]
+        for spec in self.filter_dla_spectra(second=second):
+            lnhi, redshifts = self.sample_params(spec, second=second)
+            upper_z = ured
+            if self.lowzcut:
+                upper_z = min(self.proximity(self.z_max(spec)), ured)
+            desired = (
+                (lnhi > lnhi_min)
+                & (lnhi < lnhi_max)
+                & (redshifts < upper_z)
+                & (redshifts > lred)
+            )
+            ind = np.where(desired)[0]
+            if ind.size == 0:
+                continue
+            p = self.prob_dla_per_sample(spec, ind, second=second)
+            keep = p > self.p_thresh_sample
+            if not np.any(keep):
+                continue
+            quantity = (lnhi if nhi else redshifts)[ind]
+            for iz in range(len(q_bins) - 1):
+                in_bin = keep & (quantity > q_bins[iz]) & (quantity < q_bins[iz + 1])
+                p_bin = p[in_bin]
+                if p_bin.size == 0:
+                    continue
+                small = p_bin < self.p_switch
+                if np.any(small):
+                    poisson_list[iz].append(math.fsum(p_bin[small]))
+                if np.any(~small):
+                    probs[iz].append(p_bin[~small])
+        poissons = np.array([math.fsum(pl) for pl in poisson_list])
+        return probs, poissons
+
+    def _split_distributions(self, q_bins, lred, ured, lnhi_min, lnhi_max, nhi):
+        """Combine the per-bin distributions over DLA(1..max_k)
+        (reference: calc_cddf.py:945-957)."""
+        probs, poissons = self._split_distributions_single(
+            q_bins, lred, ured, lnhi_min, lnhi_max, nhi, second=0
+        )
+        for k in range(2, self.max_k + 1):
+            p2, po2 = self._split_distributions_single(
+                q_bins, lred, ured, lnhi_min, lnhi_max, nhi, second=k - 1
+            )
+            probs = [a + b for a, b in zip(probs, p2)]
+            poissons = poissons + po2
+        return probs, poissons
+
+    def confidence_intervals(
+        self, q_bins, lred=2.0, ured=4.0, lnhi_min=20.3, lnhi_max=23.0, nhi=False
+    ):
+        """Poisson-binomial MAP + 68/95% intervals of the number of DLAs
+        per bin (reference: calc_cddf.py:1061-1088)."""
+        probs, poissons = self._split_distributions(
+            q_bins, lred, ured, lnhi_min, lnhi_max, nhi
+        )
+        maxlikes, levels68, levels95 = [], [], []
+        for pp, pmean in zip(probs, poissons):
+            pdf = poisson_binomial_pdf(pp)
+            pdf_comb, offset = combine_with_poisson(pdf, pmean)
+            maxlike, ll68, ll95 = pdf_confidence(pdf_comb, offset)
+            maxlikes.append(maxlike)
+            levels68.append(ll68)
+            levels95.append(ll95)
+        return maxlikes, levels68, levels95
+
+    def z_nhi_histogram(
+        self,
+        q_bins,
+        lred=2.0,
+        ured=4.0,
+        lnhi_min=20.3,
+        lnhi_max=23.0,
+        nhi=False,
+        moment=False,
+    ):
+        """Mean and variance of the DLA count (or total NHI if
+        ``moment``) per bin (reference: calc_cddf.py:1090-1131)."""
+        means = np.zeros(len(q_bins) - 1)
+        variances = np.zeros(len(q_bins) - 1)
+        for spec in self.filter_dla_spectra():
+            lnhi, redshifts = self.sample_params(spec)
+            ind = np.where(
+                (lnhi > lnhi_min)
+                & (lnhi < lnhi_max)
+                & (redshifts < ured)
+                & (redshifts > lred)
+            )[0]
+            if ind.size == 0:
+                continue
+            p = self.prob_dla_per_sample(spec, ind)
+            weight = 10.0 ** lnhi[ind] if moment else 1.0
+            quantity = (lnhi if nhi else redshifts)[ind]
+            t_hist, _ = np.histogram(quantity, bins=q_bins, weights=weight * p)
+            means += t_hist
+            t_var, _ = np.histogram(
+                quantity, bins=q_bins, weights=weight * weight * (1 - p) * p
+            )
+            variances += t_var
+        variances += means  # Poisson sampling term
+        return means, variances
+
+    # ------------------------------------------------------------------
+    def column_density_function(
+        self, z_min=1.0, z_max=6.0, lnhi_nbins=30, lnhi_min=20.0, lnhi_max=23.0
+    ):
+        """f(N) = n_DLA / dN / dX with confidence intervals
+        (reference: calc_cddf.py:658-683).
+
+        :return: (log10 N centers, cddf, cddf68, cddf95, xerrs)
+        """
+        l_nhi = np.linspace(lnhi_min, lnhi_max, num=lnhi_nbins + 1)
+        ndlas, l68, l95 = self.confidence_intervals(
+            q_bins=l_nhi, lred=z_min, ured=z_max, lnhi_min=lnhi_min, nhi=True
+        )
+        dX = self.path_length(z_min, z_max)
+        dN = 10.0 ** l_nhi[1:] - 10.0 ** l_nhi[:-1]
+        cddf = np.array(ndlas) / dX / dN
+        cddf68 = np.array(l68) / dX / np.vstack([dN, dN]).T
+        cddf95 = np.array(l95) / dX / np.vstack([dN, dN]).T
+        l_cent = 0.5 * (l_nhi[:-1] + l_nhi[1:])
+        xerrs = (10**l_cent - 10 ** l_nhi[:-1], 10 ** l_nhi[1:] - 10**l_cent)
+        return l_cent, cddf, cddf68, cddf95, xerrs
+
+    def line_density(self, z_min=2.0, z_max=4.0):
+        """dN/dX(z) with confidence intervals
+        (reference: calc_cddf.py:708-726)."""
+        nbins = max(int((z_max - z_min) * self.bins_per_z), 1)
+        z_bins = np.linspace(z_min, z_max, nbins + 1)
+        maxlike, l68, l95 = self.confidence_intervals(
+            q_bins=z_bins, lred=z_min, ured=z_max, lnhi_min=20.3, nhi=False
+        )
+        dX = np.array(
+            [self.path_length(a, b) for a, b in zip(z_bins[:-1], z_bins[1:])]
+        )
+        ii = dX > 0
+        dNdX = np.array(maxlike)[ii] / dX[ii]
+        dndx68 = np.array(l68)[ii] / np.vstack([dX[ii], dX[ii]]).T
+        dndx95 = np.array(l95)[ii] / np.vstack([dX[ii], dX[ii]]).T
+        z_cent = 0.5 * (z_bins[:-1] + z_bins[1:])
+        xerrs = (z_cent[ii] - z_bins[:-1][ii], z_bins[1:][ii] - z_cent[ii])
+        return z_cent[ii], dNdX, dndx68, dndx95, xerrs
+
+    def omega_dla(
+        self, z_min=2.0, z_max=4.0, hubble=0.7, lnhi_max=23.0, lnhi_min=20.3
+    ):
+        """HI mass density in DLAs relative to critical:
+        Omega_DLA = m_P H0 / (c rho_c) * sum(NHI) / dX
+        (reference: calc_cddf.py:856-905)."""
+        nbins = max(int((z_max - z_min) * self.bins_per_z), 1)
+        z_bins = np.linspace(z_min, z_max, nbins + 1)
+        mean, variance = self.z_nhi_histogram(
+            q_bins=z_bins,
+            lred=z_min,
+            ured=z_max,
+            lnhi_min=lnhi_min,
+            lnhi_max=lnhi_max,
+            nhi=False,
+            moment=True,
+        )
+        protonmass = 1.67262178e-24
+        h100 = 3.2407789e-18 * hubble
+        light = 2.99e10
+        conversion = protonmass / light * h100 / rho_crit(hubble)
+        dX = np.array(
+            [self.path_length(a, b) for a, b in zip(z_bins[:-1], z_bins[1:])]
+        )
+        ii = dX > 0
+        omega = conversion * mean[ii] / dX[ii]
+        omega_err = conversion * np.sqrt(variance[ii]) / dX[ii]
+        z_cent = 0.5 * (z_bins[:-1] + z_bins[1:])
+        return z_cent[ii], omega, omega_err

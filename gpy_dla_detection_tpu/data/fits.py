@@ -1,0 +1,171 @@
+"""Minimal native FITS binary-table reader for SDSS spectra.
+
+The reference loads spectra through astropy (reference:
+gpy_dla_detection/read_spec.py:22-120); this framework ships its own
+dependency-free reader for the subset of FITS used by SDSS/BOSS
+"speclite" files: primary HDU + BINTABLE extensions with scalar
+big-endian columns.  Falls back gracefully for any conforming file.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 2880
+
+_TFORM_DTYPES = {
+    "L": ("u1", 1),
+    "B": ("u1", 1),
+    "I": (">i2", 2),
+    "J": (">i4", 4),
+    "K": (">i8", 8),
+    "E": (">f4", 4),
+    "D": (">f8", 8),
+}
+
+
+def _read_header(f):
+    """Parse one FITS header (sequence of 2880-byte blocks of 80-char
+    cards).  Returns (dict of cards, bytes consumed)."""
+    cards = {}
+    nbytes = 0
+    done = False
+    while not done:
+        block = f.read(BLOCK)
+        if len(block) < BLOCK:
+            if nbytes == 0 and len(block) == 0:
+                return None, 0
+            raise ValueError("truncated FITS header")
+        nbytes += BLOCK
+        for i in range(0, BLOCK, 80):
+            card = block[i : i + 80].decode("ascii", errors="replace")
+            key = card[:8].strip()
+            if key == "END":
+                done = True
+                break
+            if not key or card[8] != "=":
+                continue
+            value = card[10:].split("/")[0].strip()
+            if value.startswith("'"):
+                value = value[1:].split("'")[0].strip()
+            elif value == "T":
+                value = True
+            elif value == "F":
+                value = False
+            else:
+                try:
+                    value = int(value)
+                except ValueError:
+                    try:
+                        value = float(value)
+                    except ValueError:
+                        pass
+            cards[key] = value
+    return cards, nbytes
+
+
+def _parse_tform(tform: str):
+    """'E' / '1E' / '10D' -> (dtype, bytes, repeat)."""
+    i = 0
+    while i < len(tform) and tform[i].isdigit():
+        i += 1
+    repeat = int(tform[:i]) if i else 1
+    code = tform[i]
+    if code == "A":
+        return (f"S{repeat}", repeat, 1)
+    dtype, size = _TFORM_DTYPES[code]
+    return (dtype, size * repeat, repeat)
+
+
+def read_fits_tables(filename: str):
+    """All BINTABLE HDUs of a FITS file as
+    [{'name': EXTNAME, 'columns': {name: ndarray}}, ...]."""
+    tables = []
+    with open(filename, "rb") as f:
+        # primary HDU
+        header, _ = _read_header(f)
+        if header is None or not header.get("SIMPLE", False):
+            raise ValueError(f"{filename}: not a FITS file")
+        # primary data (usually empty for speclite)
+        naxis = header.get("NAXIS", 0)
+        if naxis:
+            size = abs(header.get("BITPIX", 8)) // 8
+            for i in range(1, naxis + 1):
+                size *= header.get(f"NAXIS{i}", 0)
+            f.seek((size + BLOCK - 1) // BLOCK * BLOCK, 1)
+
+        while True:
+            header, n = _read_header(f)
+            if header is None:
+                break
+            xtension = header.get("XTENSION", "")
+            naxis1 = header.get("NAXIS1", 0)
+            naxis2 = header.get("NAXIS2", 0)
+            data_bytes = naxis1 * naxis2
+            padded = (data_bytes + BLOCK - 1) // BLOCK * BLOCK
+
+            if xtension.strip() != "BINTABLE":
+                f.seek(padded, 1)
+                continue
+
+            tfields = header.get("TFIELDS", 0)
+            names, dtypes = [], []
+            for i in range(1, tfields + 1):
+                names.append(str(header.get(f"TTYPE{i}", f"col{i}")).strip())
+                dt, size, repeat = _parse_tform(str(header[f"TFORM{i}"]).strip())
+                dtypes.append((names[-1], dt, (repeat,) if repeat > 1 and not dt.startswith("S") else ()))
+
+            raw = f.read(data_bytes)
+            f.seek(padded - data_bytes, 1)
+            rec = np.frombuffer(raw, dtype=np.dtype(dtypes), count=naxis2)
+            columns = {
+                name: np.ascontiguousarray(rec[name]).astype(
+                    rec[name].dtype.newbyteorder("=")
+                )
+                for name in names
+            }
+            tables.append({"name": str(header.get("EXTNAME", "")), "columns": columns})
+    return tables
+
+
+def file_loader(plate: int, mjd: int, fiber_id: int) -> str:
+    """SDSS spec file naming convention (reference: read_spec.py:17)."""
+    return f"spec-{plate:d}-{mjd:d}-{fiber_id:04d}.fits"
+
+
+def read_spec(filename: str):
+    """Load an SDSS DR12Q coadded speclite file.
+
+    :return: (wavelengths, flux, noise_variance, pixel_mask) with the
+        reference's conventions (reference: read_spec.py:22-71):
+        variance NaN where ivar == 0; mask = ivar==0 | BRIGHTSKY bit.
+    """
+    tables = read_fits_tables(filename)
+    if not tables:
+        raise ValueError(f"{filename}: no binary tables")
+    data = None
+    for t in tables:
+        if t["name"].upper() == "COADD":
+            data = t["columns"]
+            break
+    if data is None:
+        data = tables[0]["columns"]
+
+    flux = np.asarray(data["flux"], np.float64)
+    wavelengths = 10.0 ** np.asarray(data["loglam"], np.float64)
+    ivar = np.asarray(data["ivar"], np.float64)
+    and_mask = np.asarray(data["and_mask"]).astype(np.int64)
+
+    noise_variance = np.full(ivar.shape, np.nan)
+    good = ivar != 0
+    noise_variance[good] = 1.0 / ivar[good]
+
+    BRIGHTSKY = 24
+    pixel_mask = (~good) | (((and_mask >> BRIGHTSKY) & 1) == 1)
+
+    return wavelengths, flux, noise_variance, pixel_mask
+
+
+# DR14Q files carry the coadd in the first extension with the same
+# columns (reference: read_spec.py:74-120)
+read_spec_dr14q = read_spec

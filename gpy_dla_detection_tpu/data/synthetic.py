@@ -96,7 +96,11 @@ def synthetic_observation(
     wavelengths = synthetic_sdss_grid()
     rest = wavelengths / (1.0 + z_qso)
 
-    # continuum: interpolate mu (extend flat outside the model grid)
+    # continuum: interpolate mu inside the model grid; outside it, a
+    # flat unit continuum — crucially this puts the 1310-1325 A
+    # normalization window at ~1, matching how the learned mean is
+    # normalized in the real pipeline (clamping mu's red edge there
+    # would bias every normalized flux low and fake absorption)
     mu = np.interp(rest, learned.rest_wavelengths, learned.mu)
     M = np.stack(
         [
@@ -109,6 +113,7 @@ def synthetic_observation(
         rest > learned.rest_wavelengths[-1]
     )
     M[outside] = 0.0
+    mu[outside] = 1.0
 
     flux = mu + M @ rng.normal(size=M.shape[1])
 

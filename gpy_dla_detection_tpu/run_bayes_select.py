@@ -1,0 +1,129 @@
+"""CLI driver: batched Bayesian DLA detection over a list of spectra.
+
+TPU-native twin of the reference driver (reference:
+run_bayes_select.py:32-343): loads (or synthesizes) the learned model,
+prior catalog and QMC samples, preprocesses the given spectra, runs the
+batched sharded selection, and writes the processed HDF5 catalog.
+
+Usage:
+    python -m gpy_dla_detection_tpu.run_bayes_select \
+        --qso_list spec-*.fits --z_qso_list 2.6 3.1 ... \
+        [--max_dlas 4] [--learned-file learned.mat ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--qso_list", nargs="+", required=True)
+    parser.add_argument("--z_qso_list", nargs="+", type=float, required=True)
+    parser.add_argument("--max_dlas", type=int, default=4)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--output", default="processed_qsos_multi_meanflux.h5")
+    parser.add_argument("--learned-file", default=None, help=".mat learned model")
+    parser.add_argument("--catalog-file", default=None, help="catalog.mat")
+    parser.add_argument("--los-catalog", default=None)
+    parser.add_argument("--dla-catalog", default=None)
+    parser.add_argument("--dla-samples-file", default=None)
+    parser.add_argument("--subdla-samples-file", default=None)
+    parser.add_argument(
+        "--dtype", choices=["float32", "float64"], default="float32"
+    )
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from .data import loaders
+    from .data.fits import read_spec
+    from .data.samples import generate_dla_samples, generate_subdla_samples
+    from .data.spectrum import preprocess
+    from .data.synthetic import synthetic_learned_model, synthetic_prior_catalog
+    from .catalog_io import write_catalog
+    from .parallel.batch import make_spectra_mesh, process_batch
+    from .params import Parameters
+
+    params = Parameters()
+
+    if args.learned_file:
+        learned = loaders.load_learned_model(args.learned_file)
+    else:
+        print("[warn] no --learned-file given; using a synthetic learned model")
+        learned = synthetic_learned_model(params)
+
+    if args.catalog_file:
+        from .data.catalog import PriorCatalog
+
+        prior = PriorCatalog.from_mat(
+            params, args.catalog_file, args.los_catalog, args.dla_catalog
+        )
+    else:
+        print("[warn] no --catalog-file given; using a synthetic prior catalog")
+        prior = synthetic_prior_catalog(params)
+
+    dla_samples = (
+        loaders.load_dla_samples(args.dla_samples_file, params)
+        if args.dla_samples_file
+        else generate_dla_samples(params)
+    )
+    subdla_samples = (
+        loaders.load_subdla_samples(args.subdla_samples_file, params)
+        if args.subdla_samples_file
+        else generate_subdla_samples(params)
+    )
+
+    spectra = []
+    for filename, z_qso in zip(args.qso_list, args.z_qso_list):
+        wavelengths, flux, noise_variance, pixel_mask = read_spec(filename)
+        spectra.append(
+            preprocess(wavelengths, flux, noise_variance, pixel_mask, z_qso, params)
+        )
+
+    mesh = make_spectra_mesh() if len(jax.devices()) > 1 else None
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
+
+    results = []
+    key = jax.random.PRNGKey(args.seed)
+    t0 = time.time()
+    for i in range(0, len(spectra), args.batch_size):
+        chunk = spectra[i : i + args.batch_size]
+        key, sub = jax.random.split(key)
+        results.extend(
+            process_batch(
+                learned,
+                chunk,
+                dla_samples,
+                subdla_samples,
+                prior,
+                params,
+                sub,
+                args.max_dlas,
+                mesh=mesh,
+                dtype=dtype,
+            )
+        )
+        done = min(i + args.batch_size, len(spectra))
+        rate = done / (time.time() - t0)
+        print(f"[{done}/{len(spectra)}] {rate:.2f} spectra/sec")
+
+    for r, name in zip(results, args.qso_list):
+        print(
+            f"{name}: p_dla={r.p_dla:.4f} "
+            f"MAP z={r.map_z_dlas[0, 0]:.4f} logNHI={r.map_log_nhis[0, 0]:.3f}"
+        )
+
+    write_catalog(
+        args.output, results, params, args.max_dlas, args.z_qso_list, args.qso_list
+    )
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Batched + mesh-sharded model selection on an 8-device virtual CPU
+mesh: sharded results must equal unsharded results."""
+
+import numpy as np
+import jax
+import pytest
+from jax.sharding import Mesh
+
+from gpy_dla_detection_tpu.data.samples import (
+    generate_dla_samples,
+    generate_subdla_samples,
+)
+from gpy_dla_detection_tpu.data.synthetic import (
+    synthetic_learned_model,
+    synthetic_prior_catalog,
+    synthetic_spectrum,
+)
+from gpy_dla_detection_tpu.parallel.batch import make_spectra_mesh, process_batch
+from gpy_dla_detection_tpu.params import Parameters
+
+# enough samples that the QMC z-grid resolves an injected absorber's
+# damping trough (64 would under-sample the ~0.01-wide feature)
+NUM_SAMPLES = 400
+MAX_DLAS = 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = Parameters(num_dla_samples=NUM_SAMPLES)
+    learned = synthetic_learned_model(params)
+    prior = synthetic_prior_catalog(params)
+    dla_s = generate_dla_samples(params)
+    sub_s = generate_subdla_samples(params)
+    spectra = [
+        synthetic_spectrum(
+            params, learned, z, seed=i, dlas=[(z - 0.3, 21.3)] if i % 2 else None
+        )
+        for i, z in enumerate([2.9, 3.1, 3.3, 3.5, 2.8])
+    ]
+    return params, learned, prior, dla_s, sub_s, spectra
+
+
+def test_cpu_has_8_devices():
+    assert len(jax.devices("cpu")) == 8
+
+
+def test_batch_matches_unsharded(setup):
+    params, learned, prior, dla_s, sub_s, spectra = setup
+    key = jax.random.PRNGKey(42)
+
+    plain = process_batch(
+        learned, spectra, dla_s, sub_s, prior, params, key, MAX_DLAS, mesh=None
+    )
+
+    mesh = make_spectra_mesh(jax.devices("cpu"))
+    assert mesh.devices.size == 8
+    sharded = process_batch(
+        learned, spectra, dla_s, sub_s, prior, params, key, MAX_DLAS, mesh=mesh
+    )
+
+    assert len(plain) == len(sharded) == len(spectra)
+    for a, b in zip(plain, sharded):
+        np.testing.assert_allclose(a.log_evidence_null, b.log_evidence_null, rtol=1e-10)
+        np.testing.assert_allclose(
+            a.log_evidences_dla, b.log_evidences_dla, rtol=1e-8
+        )
+        np.testing.assert_allclose(a.p_dla, b.p_dla, rtol=1e-6)
+
+
+def test_injected_dla_detected(setup):
+    params, learned, prior, dla_s, sub_s, spectra = setup
+    results = process_batch(
+        learned,
+        spectra,
+        dla_s,
+        sub_s,
+        prior,
+        params,
+        jax.random.PRNGKey(0),
+        MAX_DLAS,
+    )
+    # spectra with injected strong DLAs should have high p_dla, clean
+    # ones low
+    for i, r in enumerate(results):
+        if i % 2:  # injected
+            assert r.p_dla > 0.9, (i, r.p_dla)
+        else:
+            assert r.p_dla < 0.5, (i, r.p_dla)
+        # MAP of the injected ones should land near the truth
+        if i % 2:
+            z_true = [2.9, 3.1, 3.3, 3.5, 2.8][i] - 0.3
+            assert abs(r.map_z_dlas[0, 0] - z_true) < 0.02, r.map_z_dlas[0]

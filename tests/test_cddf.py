@@ -1,0 +1,147 @@
+"""CDDF analysis engine: Poisson-binomial machinery vs the reference
+functions, and an end-to-end statistics sanity check."""
+
+import numpy as np
+import pytest
+
+from gpy_dla_detection_tpu.analysis.cddf import (
+    ProcessedCatalog,
+    combine_with_poisson,
+    interval,
+    path_length_integrand,
+    pdf_confidence,
+    poisson_binomial_pdf,
+)
+
+from .reference_oracle import import_reference
+
+
+def _ref_cddf_module():
+    import_reference()
+    import sys
+    import types
+
+    # CDDF_analysis imports matplotlib with pdf backend; safe here
+    from CDDF_analysis import calc_cddf
+
+    return calc_cddf
+
+
+def test_poisson_binomial_matches_reference_and_binomial():
+    ref = _ref_cddf_module()
+    rng = np.random.default_rng(0)
+    pp = [rng.uniform(0.3, 0.95, size=7), rng.uniform(0.25, 0.8, size=4)]
+    got = poisson_binomial_pdf(pp)
+    want = ref.get_poisson_binomial_pdf(pp)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+    # equal p's reduce to the binomial distribution
+    from scipy.stats import binom
+
+    p = 0.4
+    got = poisson_binomial_pdf([np.full(12, p)])
+    np.testing.assert_allclose(got, binom.pmf(np.arange(13), 12, p), atol=1e-10)
+
+
+def test_interval_and_confidence_match_reference():
+    ref = _ref_cddf_module()
+    pdf = np.array([0.05, 0.1, 0.2, 0.3, 0.2, 0.1, 0.05])
+    cdf = np.cumsum(pdf)
+    for level in [0.0, 0.68, 0.95]:
+        assert interval(cdf, level, offset=3) == ref.interval(cdf, level, offset=3)
+    assert pdf_confidence(pdf, 2) == ref.pdf_confidence(pdf, 2)
+
+
+def test_path_length_integrand_matches_reference():
+    ref = _ref_cddf_module()
+    zs = np.linspace(0.0, 6.0, 13)
+    got = [float(path_length_integrand(z)) for z in zs]
+    want = [ref.path_length_int(z) for z in zs]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_combine_with_poisson_normalized():
+    pdf = poisson_binomial_pdf([np.array([0.9, 0.8, 0.6])])
+    comb, offset = combine_with_poisson(pdf, 2.5)
+    assert 0.99 < comb.sum() < 1.01
+    assert offset >= 0
+
+
+def _toy_catalog(num_spec=40, S=500, seed=0):
+    """A catalog where each 'detected' spectrum has its likelihood mass
+    on one known sample -> statistics are analytically checkable."""
+    rng = np.random.default_rng(seed)
+    z_min = np.full(num_spec, 2.0)
+    z_max = np.full(num_spec, 3.5)
+    offsets = rng.uniform(size=S)
+    lnhi = rng.uniform(20.0, 22.5, size=S)
+
+    sll = np.full((num_spec, S, 1), -200.0)
+    p_dla = np.zeros(num_spec)
+    picked = rng.integers(0, S, size=num_spec)
+    detected = rng.uniform(size=num_spec) < 0.5
+    for i in range(num_spec):
+        if detected[i]:
+            sll[i, picked[i], 0] = 0.0
+            p_dla[i] = 0.95
+        else:
+            p_dla[i] = 1e-4
+    # log evidence consistent with the normalization convention:
+    # log_norm_like = sll - (log_ev + log S) must satisfy
+    # sum exp(log_norm_like) ~= 1  ->  log_ev = logsumexp(sll) - log S
+    from scipy.special import logsumexp
+
+    log_ev = logsumexp(sll[:, :, 0], axis=1)[:, None] - np.log(S)
+
+    mp = np.stack(
+        [1 - p_dla - 1e-5, np.full(num_spec, 1e-5), p_dla], axis=1
+    )
+    base = np.zeros((num_spec, S, 0), dtype=np.int32)
+    cat = ProcessedCatalog(
+        z_min,
+        z_max,
+        mp,
+        sll,
+        log_ev,
+        base,
+        offsets,
+        lnhi,
+        sub_dla=True,
+        max_k=1,
+    )
+    return cat, detected, picked, offsets, lnhi
+
+
+def test_catalog_statistics_sane():
+    cat, detected, picked, offsets, lnhi = _toy_catalog()
+
+    # expected number of DLAs in the full range ~ number of detections
+    # with lnhi > 20.3
+    z = 2.0 + 1.5 * offsets
+    true_n = sum(
+        1
+        for i in range(len(detected))
+        if detected[i] and lnhi[picked[i]] > 20.3 and 2.0 < z[picked[i]] < 3.5
+    )
+    maxlike, l68, l95 = cat.confidence_intervals(
+        q_bins=np.array([2.0, 3.5]), lred=2.0, ured=3.5, lnhi_min=20.3
+    )
+    assert abs(maxlike[0] - true_n) <= 2, (maxlike, true_n)
+    assert l95[0][0] <= maxlike[0] <= l95[0][1]
+
+    # line density is positive and finite
+    z_cent, dNdX, dndx68, dndx95, xerrs = cat.line_density(2.0, 3.5)
+    assert np.all(np.isfinite(dNdX)) and np.all(dNdX >= 0)
+
+    # CDDF integrates to roughly the detected number
+    l_cent, cddf, cddf68, cddf95, xerrs = cat.column_density_function(
+        2.0, 3.5, lnhi_nbins=10, lnhi_min=20.3, lnhi_max=23.0
+    )
+    dX = cat.path_length(2.0, 3.5)
+    dN = 10.0 ** np.linspace(20.3, 23.0, 11)
+    total = np.sum(cddf * np.diff(dN)) * dX
+    assert abs(total - true_n) <= 3, (total, true_n)
+
+    # omega_dla positive
+    z_cent, omega, omega_err = cat.omega_dla(2.0, 3.5)
+    assert np.all(omega >= 0) and np.all(np.isfinite(omega))

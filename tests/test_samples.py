@@ -1,0 +1,82 @@
+"""QMC sample generation: Halton set, logNHI prior sampling, partition
+functions."""
+
+import numpy as np
+from scipy.integrate import quad
+
+from gpy_dla_detection_tpu.data.samples import (
+    _gaussian_fit_integral,
+    generate_dla_samples,
+    generate_subdla_samples,
+    halton_sequence,
+    log_nhi_mixture_pdf,
+)
+from gpy_dla_detection_tpu.params import Parameters
+
+
+def test_halton_uniform_low_discrepancy():
+    seq = halton_sequence(2048, 2)
+    assert seq.shape == (2048, 2)
+    assert np.all((seq >= 0) & (seq < 1))
+    # low-discrepancy: bin counts much more even than random
+    counts, _ = np.histogram(seq[:, 0], bins=32, range=(0, 1))
+    assert counts.max() - counts.min() <= 2
+
+
+def test_gaussian_fit_integral_matches_quad():
+    f = lambda x: np.exp(-1.2695 * x**2 + 50.863 * x - 509.33)
+    for lo, hi in [(20.0, 25.0), (20.0, 21.3), (19.5, 20.03269)]:
+        want = quad(f, lo, hi)[0]
+        got = _gaussian_fit_integral(lo, hi)
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_mixture_pdf_matches_reference_formula():
+    """pdf values equal the reference's normalized_pdf
+    (reference: dla_samples.py:106-131)."""
+    from scipy import stats
+
+    params = Parameters()
+    unnorm = lambda x: np.exp(-1.2695 * x**2 + 50.863 * x - 509.33)
+    Z = quad(unnorm, 20.0, 25.0)[0]
+    u = stats.uniform(loc=20.0, scale=3.0)
+    ref = lambda x: 0.97 * unnorm(x) / Z + 0.03 * u.pdf(x)
+
+    xs = np.linspace(20.0, 24.5, 50)
+    got = log_nhi_mixture_pdf(xs, params)
+    np.testing.assert_allclose(got, [ref(x) for x in xs], rtol=1e-9)
+
+
+def test_dla_samples_distribution():
+    params = Parameters(num_dla_samples=4000)
+    s = generate_dla_samples(params)
+    assert s.log_nhi_samples.shape == (4000,)
+    assert np.all(s.log_nhi_samples >= 20.0) and np.all(s.log_nhi_samples <= 25.0)
+    np.testing.assert_allclose(s.nhi_samples, 10.0**s.log_nhi_samples)
+
+    # empirical CDF of samples must match the mixture CDF (inverse
+    # transform on a low-discrepancy set -> error O(1/n))
+    from gpy_dla_detection_tpu.data.samples import _mixture_cdf
+
+    xs = np.linspace(20.05, 24.0, 20)
+    for x in xs:
+        emp = np.mean(s.log_nhi_samples <= x)
+        np.testing.assert_allclose(emp, _mixture_cdf(x, params), atol=2e-3)
+
+
+def test_subdla_samples_and_partition_functions():
+    params = Parameters(num_dla_samples=2000)
+    s = generate_subdla_samples(params)
+    assert np.all(s.log_nhi_samples >= 19.5) and np.all(s.log_nhi_samples < 20.0)
+
+    # partition functions: integrate the extrapolated mixture numerically
+    # (reference: set_lls_parameters.m:44-70)
+    peak = 20.03269
+    unnorm = lambda x: np.exp(-1.2695 * x**2 + 50.863 * x - 509.33)
+    ext = lambda x: unnorm(x) if x >= peak else unnorm(peak)
+    Z = quad(ext, 19.5, 25.0)[0]
+    mix = lambda x: 0.97 * ext(x) / Z + 0.03 * (1.0 / 3.5 if 19.5 <= x <= 23.0 else 0.0)
+    want_lls = quad(mix, 19.5, 20.0)[0]
+    want_dla = quad(mix, 20.0, 23.0)[0]
+    np.testing.assert_allclose(s.Z_lls, want_lls, rtol=1e-6)
+    np.testing.assert_allclose(s.Z_dla, want_dla, rtol=1e-6)

@@ -1,0 +1,110 @@
+"""zQSO estimation vs the reference ZGP on synthetic data."""
+
+import numpy as np
+import pytest
+
+from gpy_dla_detection_tpu.models.zqso import (
+    ZLearnedModel,
+    inference_z_qso,
+    prepare_z_spectrum,
+    z_log_evidence,
+)
+from gpy_dla_detection_tpu.params import ZParameters
+
+from .reference_oracle import import_reference
+
+
+def _z_learned(seed=0, k=5):
+    rng = np.random.default_rng(seed)
+    rest = np.arange(910.0, 3000.0 + 0.125, 0.25)
+    R = rest.shape[0]
+    mu = (
+        1.0
+        + 2.0 * np.exp(-0.5 * ((rest - 1215.67) / 14.0) ** 2)
+        + 0.8 * np.exp(-0.5 * ((rest - 1549.0) / 18.0) ** 2)
+        + 0.5 * np.exp(-0.5 * ((rest - 2799.0) / 25.0) ** 2)
+    )
+    # normalize so the 1176-1256 A window has unit median — the learned
+    # model is trained on spectra normalized over that window, so its
+    # mean must be consistent with the normalization applied at test time
+    norm = np.median(mu[(rest >= 1176.0) & (rest <= 1256.0)])
+    mu /= norm
+    kernel = np.exp(-0.5 * (np.arange(-60, 61) / 20.0) ** 2)
+    kernel /= kernel.sum()
+    M = np.stack(
+        [np.convolve(rng.normal(size=R), kernel, "same") for _ in range(k)], axis=1
+    ) * (1.5 / norm)
+    return ZLearnedModel(
+        rest_wavelengths=rest,
+        mu=mu,
+        M=M,
+        bluewards_mu=np.float64(0.2),
+        bluewards_sigma=np.float64(0.5),
+        redwards_mu=np.float64(0.8),
+        redwards_sigma=np.float64(0.3),
+    )
+
+
+def _observation(learned, z_true, seed=0, noise=0.08):
+    rng = np.random.default_rng(seed)
+    wl = 3600.0 * 10 ** (1e-4 * np.arange(4600))
+    rest = wl / (1 + z_true)
+    mu = np.interp(rest, learned.rest_wavelengths, learned.mu)
+    M = np.stack(
+        [
+            np.interp(rest, learned.rest_wavelengths, learned.M[:, i])
+            for i in range(learned.M.shape[1])
+        ],
+        axis=1,
+    )
+    out = (rest < learned.rest_wavelengths[0]) | (rest > learned.rest_wavelengths[-1])
+    M[out] = 0.0
+    flux = mu + M @ rng.normal(size=M.shape[1])
+    flux[out] = np.where(
+        rest[out] < learned.rest_wavelengths[0], 0.2, 0.8
+    )
+    nv = np.full_like(wl, noise**2)
+    flux += noise * rng.normal(size=wl.shape)
+    pm = np.zeros(wl.shape, bool)
+    return wl, flux, nv, pm
+
+
+def test_z_log_evidence_matches_reference():
+    import_reference()
+    from gpy_dla_detection.zqso_gp import ZGP
+    from gpy_dla_detection.zqso_samples import ZSamples
+    from gpy_dla_detection.zqso_set_parameters import ZParameters as RefZParameters
+
+    params = ZParameters(k=5)
+    learned = _z_learned()
+    wl, flux, nv, pm = _observation(learned, z_true=3.2, seed=4)
+    spec = prepare_z_spectrum(wl, flux, nv, pm)
+
+    ref_params = RefZParameters(k=5)
+    ref = ZGP(
+        ref_params,
+        ZSamples(ref_params),
+        rest_wavelengths=learned.rest_wavelengths,
+        mu=learned.mu,
+        M=learned.M,
+        bluewards_mu=float(learned.bluewards_mu),
+        redwards_mu=float(learned.redwards_mu),
+        bluewards_sigma=float(learned.bluewards_sigma),
+        redwards_sigma=float(learned.redwards_sigma),
+    )
+
+    for z in [2.6, 3.2, 4.0]:
+        ref.set_data(wl.copy(), flux.copy(), nv.copy(), pm.copy(), z)
+        want = float(ref.log_model_evidence())
+        got = float(z_log_evidence(learned, spec, np.float64(z), params))
+        np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_inference_recovers_redshift():
+    params = ZParameters(k=5, num_zqso_samples=400)
+    learned = _z_learned()
+    z_true = 3.37
+    wl, flux, nv, pm = _observation(learned, z_true, seed=9)
+    spec = prepare_z_spectrum(wl, flux, nv, pm)
+    z_map, lls, grid = inference_z_qso(learned, spec, params)
+    assert abs(z_map - z_true) < 0.05, z_map
