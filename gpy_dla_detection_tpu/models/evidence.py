@@ -33,9 +33,14 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.logmvn import batched_log_mvnpdf, log_mvnpdf_low_rank, pair_basis
-from ..ops.voigt import voigt_absorption
+from ..ops.voigt import voigt_absorption, voigt_absorption_lls
 from ..params import Parameters
 from .learned import SpectrumModel
+
+# absorption-profile families usable in the QMC marginalization:
+# "dla" = Lyman series only (reference: voigt.py), "lls" = Lyman series
+# plus the Lyman-limit break (reference: voigt_lls.py)
+PROFILES = {"dla": voigt_absorption, "lls": voigt_absorption_lls}
 
 
 def null_log_evidence(model: SpectrumModel) -> jnp.ndarray:
@@ -64,6 +69,7 @@ def qmc_log_evidences(
     max_k: int,
     params: Parameters,
     base_inds_override: jnp.ndarray | None = None,
+    profile: str = "dla",
 ) -> QMCEvidenceResult:
     """Marginalize the k-absorber models over the QMC sample set.
 
@@ -85,7 +91,7 @@ def qmc_log_evidences(
     z_samples = model.min_z_dla + (model.max_z_dla - model.min_z_dla) * offset_samples
 
     # single-absorber profiles for every sample, computed once: (S, N)
-    A = voigt_absorption(
+    A = PROFILES[profile](
         model.padded_wavelengths, nhi_samples, z_samples, params.num_lines
     )
 

@@ -32,7 +32,9 @@ def test_poisson_binomial_matches_reference_and_binomial():
     rng = np.random.default_rng(0)
     pp = [rng.uniform(0.3, 0.95, size=7), rng.uniform(0.25, 0.8, size=4)]
     got = poisson_binomial_pdf(pp)
-    want = ref.get_poisson_binomial_pdf(pp)
+    # the reference chokes on ragged lists under numpy 2.x; feed it the
+    # concatenated probabilities (same distribution)
+    want = ref.get_poisson_binomial_pdf([np.concatenate(pp)])
     np.testing.assert_allclose(got, want, atol=1e-10)
 
     # equal p's reduce to the binomial distribution
