@@ -1,0 +1,66 @@
+"""SDSS spectrum retrieval.
+
+Rebuild of the reference's downloader (reference:
+gpy_dla_detection/read_spec.py:123-191, examples/download_spectra.py,
+data/scripts/download_spectra.sh).  Network access is environment
+dependent; every function degrades to a clear error when offline.
+"""
+
+from __future__ import annotations
+
+import os
+from urllib import request
+
+from .build_catalog import V_5_7_2_PLATES
+from .fits import file_loader
+
+SDSS_BASE = "https://data.sdss.org/sas/dr12/boss/spectro/redux"
+
+
+def spec_url(plate: int, mjd: int, fiber_id: int, release: str = "dr12q") -> str:
+    """URL of a DR12 speclite file; 5.7.2 plates live under a different
+    pipeline directory (reference: read_spec.py:138-170)."""
+    if release != "dr12q":
+        raise NotImplementedError(f"release {release}")
+    version = "v5_7_2" if int(plate) in set(V_5_7_2_PLATES.tolist()) else "v5_7_0"
+    fname = file_loader(plate, mjd, fiber_id)
+    return f"{SDSS_BASE}/{version}/spectra/lite/{plate:d}/{fname}"
+
+
+def retrieve_raw_spec(
+    plate: int,
+    mjd: int,
+    fiber_id: int,
+    release: str = "dr12q",
+    directory: str = ".",
+    overwrite: bool = False,
+) -> str:
+    """Download one spectrum; returns the local path."""
+    path = os.path.join(directory, file_loader(plate, mjd, fiber_id))
+    if os.path.exists(path) and not overwrite:
+        return path
+    os.makedirs(directory, exist_ok=True)
+    url = spec_url(plate, mjd, fiber_id, release)
+    try:
+        request.urlretrieve(url, path)
+    except Exception as e:
+        raise RuntimeError(
+            f"could not download {url} (offline environment?): {e}"
+        ) from e
+    return path
+
+
+def download_file_list(file_list: str, directory: str = ".") -> list[str]:
+    """Fetch every spectrum in a build_catalog file list."""
+    paths = []
+    with open(file_list) as f:
+        for line in f:
+            rel = line.strip()
+            if not rel:
+                continue
+            url = f"{SDSS_BASE}/{rel.replace('/./', '/')}"
+            path = os.path.join(directory, os.path.basename(rel))
+            if not os.path.exists(path):
+                request.urlretrieve(url, path)
+            paths.append(path)
+    return paths

@@ -125,7 +125,7 @@ def preprocess(
     mask_out = np.zeros(N, dtype=bool)
     flux_w = flux[in_window]
     var_w = noise_variance[in_window]
-    valid_w = ~pixel_mask[in_window]
+    valid_w = ~pixel_mask[in_window] & np.isfinite(flux_w) & np.isfinite(var_w)
     # masked pixels keep placeholder values; they never enter the math
     flux_out[:n_w] = np.where(valid_w, np.nan_to_num(flux_w), 0.0)
     var_out[:n_w] = np.where(valid_w, np.nan_to_num(var_w, nan=1.0), 1.0)

@@ -122,8 +122,15 @@ def qmc_log_evidences(
                 logits = jnp.where(alive, logits, jnp.zeros_like(logits))
                 base = jax.random.categorical(keys[k0 - 1], logits, shape=(S,))
             base_inds_rows.append(base)
-            cum_extra = cum_extra * A[base]
-            z_rows.append(z_samples[base])
+            # recompute the gathered absorbers' profiles from their
+            # (z, nhi) parameters: a fresh Voigt pass is ~250x cheaper
+            # on TPU than the (S, N) random row gather A[base]
+            z_g = z_samples[base]
+            nhi_g = nhi_samples[base]
+            cum_extra = cum_extra * PROFILES[profile](
+                model.padded_wavelengths, nhi_g, z_g, params.num_lines
+            )
+            z_rows.append(z_g)
             lognhi_rows.append(log_nhi_samples[base])
 
         absorption = A * cum_extra if k0 > 0 else A

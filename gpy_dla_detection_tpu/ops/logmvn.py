@@ -91,6 +91,39 @@ def pair_basis(M):
     return (M[:, :, None] * M[:, None, :]).reshape(N, k * k)
 
 
+def batched_quad_logdet(B, u):
+    """(u^T B^-1 u, log det B) for a batch of small SPD matrices.
+
+    Unrolled Cholesky with the forward substitution fused in, expressed
+    as k rank-1 elementwise updates over the batch — XLA's batched
+    ``cholesky``/``triangular_solve`` on (S, 20, 20) problems lower to
+    catastrophically slow loops on TPU (measured ~50 ms for S=10k where
+    this runs in <1 ms), so the factorization is hand-unrolled onto the
+    VPU.
+
+    :param B: (S, k, k) SPD.
+    :param u: (S, k).
+    :return: (quad (S,), logdet (S,))
+    """
+    S, k, _ = B.shape
+    A = B
+    quad = jnp.zeros((S,), B.dtype)
+    logdet = jnp.zeros((S,), B.dtype)
+    row_idx = jnp.arange(k)
+    for j in range(k):
+        dj = A[:, j, j]
+        logdet = logdet + jnp.log(dj)
+        inv_sqrt = jax.lax.rsqrt(dj)
+        col = A[:, :, j] * inv_sqrt[:, None]  # (S, k): L[:, j] scaled
+        col = jnp.where(row_idx >= j, col, 0.0)
+        tj = u[:, j] * inv_sqrt
+        quad = quad + tj * tj
+        u = u - tj[:, None] * col
+        if j < k - 1:
+            A = A - col[:, :, None] * col[:, None, :]
+    return quad, logdet
+
+
 def batched_log_mvnpdf(y, mu, M, omega2, v, mask, absorption, M_pair=None):
     """log N(y; mu * a_s, (M a_s)(M a_s)^T + diag(omega2 a_s^2 + v)) for a
     batch of absorption profiles ``a_s``.
@@ -118,16 +151,14 @@ def batched_log_mvnpdf(y, mu, M, omega2, v, mask, absorption, M_pair=None):
     B = jnp.eye(k, dtype=y.dtype) + jnp.matmul(
         w, M_pair, precision=jax.lax.Precision.HIGHEST
     ).reshape(-1, k, k)
-    L = jnp.linalg.cholesky(B)
 
     # u_s = (M a_s)^T D^-1 delta_s
     r = a * delta * d_inv  # (S, N)
     u = jnp.matmul(r, M, precision=jax.lax.Precision.HIGHEST)  # (S, k)
-    t = jax.scipy.linalg.solve_triangular(L, u[..., None], lower=True)[..., 0]
 
-    quad = jnp.sum(delta * delta * d_inv, axis=-1) - jnp.sum(t * t, axis=-1)
-    log_det = jnp.sum(jnp.where(mask, jnp.log(d_safe), 0.0), axis=-1) + 2.0 * jnp.sum(
-        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
-    )
+    corr, log_det_B = batched_quad_logdet(B, u)
+
+    quad = jnp.sum(delta * delta * d_inv, axis=-1) - corr
+    log_det = jnp.sum(jnp.where(mask, jnp.log(d_safe), 0.0), axis=-1) + log_det_B
     n = jnp.sum(mask)
     return -0.5 * (quad + log_det + n * LOG_2PI)
