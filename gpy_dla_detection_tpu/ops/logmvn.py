@@ -124,6 +124,16 @@ def batched_quad_logdet(B, u):
     return quad, logdet
 
 
+def _on_tpu(x) -> bool:
+    try:
+        aval_devices = getattr(x, "devices", None)
+        if callable(aval_devices):
+            return any(d.platform == "tpu" for d in x.devices())
+    except Exception:
+        pass
+    return jax.default_backend() == "tpu"
+
+
 def batched_log_mvnpdf(y, mu, M, omega2, v, mask, absorption, M_pair=None):
     """log N(y; mu * a_s, (M a_s)(M a_s)^T + diag(omega2 a_s^2 + v)) for a
     batch of absorption profiles ``a_s``.
@@ -138,6 +148,14 @@ def batched_log_mvnpdf(y, mu, M, omega2, v, mask, absorption, M_pair=None):
     k = M.shape[-1]
     if M_pair is None:
         M_pair = pair_basis(M)
+
+    # TPU f32: fused Pallas kernel (one HBM pass over the profiles)
+    if jnp.result_type(y) == jnp.float32 and _on_tpu(y):
+        from .logmvn_pallas import batched_log_mvnpdf_pallas
+
+        return batched_log_mvnpdf_pallas(
+            y, mu, M, omega2, v, mask, absorption, M_pair, k
+        )
 
     a = jnp.where(mask, absorption, 1.0)
     d = omega2 * a * a + v

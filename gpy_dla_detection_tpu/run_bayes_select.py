@@ -36,6 +36,13 @@ def main(argv=None):
         "--dtype", choices=["float32", "float64"], default="float32"
     )
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--checkpoint-every",
+        type=int,
+        default=0,
+        help="write a partial catalog every N batches and resume from "
+        "existing parts (0 = off)",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -89,26 +96,38 @@ def main(argv=None):
     mesh = make_spectra_mesh() if len(jax.devices()) > 1 else None
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
 
+    import os
+    import pickle
+
     results = []
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
     for i in range(0, len(spectra), args.batch_size):
-        chunk = spectra[i : i + args.batch_size]
         key, sub = jax.random.split(key)
-        results.extend(
-            process_batch(
-                learned,
-                chunk,
-                dla_samples,
-                subdla_samples,
-                prior,
-                params,
-                sub,
-                args.max_dlas,
-                mesh=mesh,
-                dtype=dtype,
-            )
+        # step-granular checkpoint/resume: each batch's results persist
+        # to a part file; reruns skip completed batches
+        part_path = f"{args.output}.part{i:08d}.pkl"
+        if args.checkpoint_every and os.path.exists(part_path):
+            with open(part_path, "rb") as f:
+                results.extend(pickle.load(f))
+            continue
+        chunk = spectra[i : i + args.batch_size]
+        batch_results = process_batch(
+            learned,
+            chunk,
+            dla_samples,
+            subdla_samples,
+            prior,
+            params,
+            sub,
+            args.max_dlas,
+            mesh=mesh,
+            dtype=dtype,
         )
+        if args.checkpoint_every and (i // args.batch_size) % args.checkpoint_every == 0:
+            with open(part_path, "wb") as f:
+                pickle.dump(batch_results, f)
+        results.extend(batch_results)
         done = min(i + args.batch_size, len(spectra))
         rate = done / (time.time() - t0)
         print(f"[{done}/{len(spectra)}] {rate:.2f} spectra/sec")

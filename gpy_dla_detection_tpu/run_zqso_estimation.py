@@ -1,0 +1,61 @@
+"""CLI driver: quasar redshift estimation over a list of spectra.
+
+Twin of the reference's zQSO test path (reference:
+tests/test_zestimation.py:22-77, zqso_gp.py:214-250) as a first-class
+batch driver.
+
+Usage:
+    python -m gpy_dla_detection_tpu.run_zqso_estimation \
+        --qso_list spec-*.fits --learned-file learned_zqso_....mat
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--qso_list", nargs="+", required=True)
+    parser.add_argument("--learned-file", required=True)
+    parser.add_argument("--output", default="zqso_estimates.h5")
+    parser.add_argument("--z-min", type=float, default=2.14)
+    parser.add_argument("--z-max", type=float, default=6.16)
+    parser.add_argument("--num-samples", type=int, default=10000)
+    args = parser.parse_args(argv)
+
+    import numpy as np
+
+    from .data.fits import read_spec
+    from .data.loaders import load_z_learned_model
+    from .models.zqso import inference_z_qso, prepare_z_spectrum
+    from .params import ZParameters
+
+    params = ZParameters(num_zqso_samples=args.num_samples)
+    learned = load_z_learned_model(args.learned_file)
+
+    z_maps = []
+    t0 = time.time()
+    for i, fname in enumerate(args.qso_list):
+        wl, flux, nv, pm = read_spec(fname)
+        spec = prepare_z_spectrum(wl, flux, nv, pm)
+        z_map, _, _ = inference_z_qso(
+            learned, spec, params, args.z_min, args.z_max
+        )
+        z_maps.append(z_map)
+        print(f"[{i + 1}/{len(args.qso_list)}] {fname}: z_map = {z_map:.4f} "
+              f"({(i + 1) / (time.time() - t0):.2f} spectra/sec)")
+
+    import h5py
+
+    with h5py.File(args.output, "w") as f:
+        f.create_dataset("z_map", data=np.asarray(z_maps))
+        f.create_dataset(
+            "qso_list", data=np.asarray(args.qso_list, h5py.string_dtype())
+        )
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

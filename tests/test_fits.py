@@ -1,0 +1,96 @@
+"""Native FITS binary-table reader, tested against a hand-built
+standard-conforming FITS file (astropy is not available here)."""
+
+import numpy as np
+
+from gpy_dla_detection_tpu.data.fits import read_fits_tables, read_spec
+
+
+def _card(key, value, comment=""):
+    if isinstance(value, bool):
+        v = "T" if value else "F"
+        body = f"{key:<8}= {v:>20}"
+    elif isinstance(value, int):
+        body = f"{key:<8}= {value:>20}"
+    elif isinstance(value, str):
+        body = f"{key:<8}= '{value:<8}'"
+    else:
+        body = f"{key:<8}= {value:>20}"
+    if comment:
+        body += f" / {comment}"
+    return body.ljust(80)[:80]
+
+
+def _block(cards):
+    text = "".join(cards) + "END".ljust(80)
+    pad = (-len(text)) % 2880
+    return (text + " " * pad).encode("ascii")
+
+
+def _write_speclite(path, flux, loglam, ivar, and_mask):
+    n = flux.shape[0]
+    rec = np.zeros(
+        n,
+        dtype=[("flux", ">f4"), ("loglam", ">f4"), ("ivar", ">f4"), ("and_mask", ">i4")],
+    )
+    rec["flux"] = flux
+    rec["loglam"] = loglam
+    rec["ivar"] = ivar
+    rec["and_mask"] = and_mask
+    data = rec.tobytes()
+    pad = (-len(data)) % 2880
+
+    primary = _block([_card("SIMPLE", True), _card("BITPIX", 8), _card("NAXIS", 0)])
+    table_header = _block(
+        [
+            _card("XTENSION", "BINTABLE"),
+            _card("BITPIX", 8),
+            _card("NAXIS", 2),
+            _card("NAXIS1", rec.dtype.itemsize),
+            _card("NAXIS2", n),
+            _card("PCOUNT", 0),
+            _card("GCOUNT", 1),
+            _card("TFIELDS", 4),
+            _card("TTYPE1", "flux"),
+            _card("TFORM1", "E"),
+            _card("TTYPE2", "loglam"),
+            _card("TFORM2", "E"),
+            _card("TTYPE3", "ivar"),
+            _card("TFORM3", "E"),
+            _card("TTYPE4", "and_mask"),
+            _card("TFORM4", "J"),
+            _card("EXTNAME", "COADD"),
+        ]
+    )
+    with open(path, "wb") as f:
+        f.write(primary)
+        f.write(table_header)
+        f.write(data)
+        f.write(b"\x00" * pad)
+
+
+def test_read_fits_tables_roundtrip(tmp_path):
+    n = 500
+    rng = np.random.default_rng(0)
+    flux = rng.normal(size=n).astype(np.float32)
+    loglam = (np.log10(3600.0) + 1e-4 * np.arange(n)).astype(np.float32)
+    ivar = rng.uniform(0, 10, size=n).astype(np.float32)
+    ivar[::50] = 0.0
+    and_mask = np.zeros(n, np.int32)
+    and_mask[::70] = 1 << 24  # BRIGHTSKY
+
+    path = str(tmp_path / "spec-1234-55555-0001.fits")
+    _write_speclite(path, flux, loglam, ivar, and_mask)
+
+    tables = read_fits_tables(path)
+    assert tables[0]["name"].strip() == "COADD"
+    np.testing.assert_allclose(tables[0]["columns"]["flux"], flux)
+
+    wl, fx, nv, mask = read_spec(path)
+    np.testing.assert_allclose(wl, 10.0 ** loglam.astype(np.float64), rtol=1e-6)
+    np.testing.assert_allclose(fx, flux, rtol=1e-6)
+    good = ivar != 0
+    np.testing.assert_allclose(nv[good], 1.0 / ivar[good], rtol=1e-6)
+    assert np.all(np.isnan(nv[~good]))
+    want_mask = (~good) | (and_mask >> 24 & 1).astype(bool)
+    assert np.array_equal(mask, want_mask)
