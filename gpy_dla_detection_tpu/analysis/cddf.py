@@ -474,6 +474,100 @@ class ProcessedCatalog:
         xerrs = (z_cent[ii] - z_bins[:-1][ii], z_bins[1:][ii] - z_cent[ii])
         return z_cent[ii], dNdX, dndx68, dndx95, xerrs
 
+    def _omega_confidence_intervals(self, lnhi_bins, lred, ured, tailprob=5e-4):
+        """Confidence interval on the total NHI in DLAs over a redshift
+        range, by combining the per-NHI-bin count PDFs into a total-mass
+        PDF (reference: calc_cddf.py:780-855)."""
+        probs, poissons = self._split_distributions(
+            lnhi_bins, lred, ured, lnhi_bins[0], lnhi_bins[-1], nhi=True
+        )
+        pdf_comb = np.ones(1)
+        nhi_comb = np.zeros(1)
+        nhi_cent = 10.0 ** (0.5 * (lnhi_bins[:-1] + lnhi_bins[1:]))
+        for pp, pmean, nhi_cc in zip(probs, poissons, nhi_cent):
+            pdf = poisson_binomial_pdf(pp)
+            pdf_one, offset_one = combine_with_poisson(pdf, pmean)
+            dlow, dhigh = interval(np.cumsum(pdf_one), 1 - 1e-4)
+            maxr = min(dhigh + 1, np.size(pdf_one))
+            pdf_comb = np.ravel(
+                pdf_comb[:, None] * pdf_one[None, dlow:maxr]
+            )
+            nhi_comb = np.ravel(
+                nhi_comb[:, None]
+                + (offset_one + np.arange(dlow, maxr))[None, :] * nhi_cc
+            )
+            order = np.argsort(nhi_comb)
+            nhi_comb, pdf_comb = nhi_comb[order], pdf_comb[order]
+            # trim the tails and merge near-identical mass options so the
+            # combined support stays tractable (reference: :816-848)
+            cdf = np.cumsum(pdf_comb)
+            lo_t = np.where(cdf < tailprob)[0]
+            hi_t = np.where(cdf > 1 - tailprob)[0]
+            if hi_t.size:
+                pdf_comb = np.append(pdf_comb[: hi_t[0]], pdf_comb[hi_t].sum())
+                nhi_comb = np.append(nhi_comb[: hi_t[0]], nhi_comb[hi_t].min())
+            if lo_t.size:
+                pdf_comb = np.insert(pdf_comb[lo_t[-1] + 1 :], 0, pdf_comb[lo_t].sum())
+                nhi_comb = np.insert(nhi_comb[lo_t[-1] + 1 :], 0, nhi_comb[lo_t].max())
+            # merge options within 0.1% in NHI
+            new_pdf = [pdf_comb[0]]
+            new_nhi = [nhi_comb[0]]
+            i = 1
+            while i < pdf_comb.size:
+                base = nhi_comb[i] if nhi_comb[i] > 0 else 1.0
+                j = i
+                while j < pdf_comb.size and nhi_comb[j] / base < 1 + 1e-3:
+                    j += 1
+                new_pdf.append(math.fsum(pdf_comb[i:j]))
+                new_nhi.append(float(np.median(nhi_comb[i:j])))
+                i = j
+            pdf_comb = np.asarray(new_pdf)
+            nhi_comb = np.asarray(new_nhi)
+        maxlike, l68, l95 = pdf_confidence(pdf_comb, 0)
+        hi95 = min(l95[1], nhi_comb.size - 1)
+        hi68 = min(l68[1], nhi_comb.size - 1)
+        return (
+            nhi_comb[maxlike],
+            (nhi_comb[l68[0]], nhi_comb[hi68]),
+            (nhi_comb[l95[0]], nhi_comb[hi95]),
+        )
+
+    def omega_dla_cddf(self, z_min=2.0, z_max=4.0, hubble=0.7, lnhi_nbins=30):
+        """Omega_DLA from the summed CDDF with full Poisson-binomial
+        confidence intervals (reference: calc_cddf.py:739-778).
+
+        :return: (z_cent, omega, omega68 (n,2), omega95 (n,2), xerrs)
+        """
+        nbins = max(int((z_max - z_min) * self.bins_per_z), 1)
+        z_bins = np.linspace(z_min, z_max, nbins + 1)
+        protonmass = 1.67262178e-24
+        h100 = 3.2407789e-18 * hubble
+        light = 2.99e10
+        conversion = protonmass / light * h100 / rho_crit(hubble)
+        lnhi_bins = np.linspace(20.3, 23.0, num=lnhi_nbins + 1)
+
+        z_cent, omega, omega68, omega95, xerrs = [], [], [], [], []
+        for zz in range(nbins):
+            dX = self.path_length(z_bins[zz], z_bins[zz + 1])
+            if dX == 0.0:
+                continue
+            nhi_like, nhi_68, nhi_95 = self._omega_confidence_intervals(
+                lnhi_bins, z_bins[zz], z_bins[zz + 1]
+            )
+            omega.append(conversion * nhi_like / dX)
+            omega68.append(conversion * np.asarray(nhi_68) / dX)
+            omega95.append(conversion * np.asarray(nhi_95) / dX)
+            z_c = 0.5 * (z_bins[zz] + z_bins[zz + 1])
+            z_cent.append(z_c)
+            xerrs.append((z_c - z_bins[zz], z_bins[zz + 1] - z_c))
+        return (
+            np.asarray(z_cent),
+            np.asarray(omega),
+            np.asarray(omega68),
+            np.asarray(omega95),
+            np.asarray(xerrs).T,
+        )
+
     def omega_dla(
         self, z_min=2.0, z_max=4.0, hubble=0.7, lnhi_max=23.0, lnhi_min=20.3
     ):

@@ -149,8 +149,15 @@ def batched_log_mvnpdf(y, mu, M, omega2, v, mask, absorption, M_pair=None):
     if M_pair is None:
         M_pair = pair_basis(M)
 
-    # TPU f32: fused Pallas kernel (one HBM pass over the profiles)
-    if jnp.result_type(y) == jnp.float32 and _on_tpu(y):
+    # Optional fused Pallas kernel (opt-in: on this generation the
+    # XLA-fused jnp path measures faster; see ops/logmvn_pallas.py)
+    import os
+
+    if (
+        os.environ.get("GPY_DLA_USE_PALLAS", "0") == "1"
+        and jnp.result_type(y) == jnp.float32
+        and _on_tpu(y)
+    ):
         from .logmvn_pallas import batched_log_mvnpdf_pallas
 
         return batched_log_mvnpdf_pallas(

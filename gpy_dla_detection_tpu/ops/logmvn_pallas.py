@@ -26,8 +26,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .logmvn import LOG_2PI, batched_quad_logdet
 
-# sample-block size: multiple of the f32 sublane tile (8)
-BLOCK_S = 512
+# sample-block size: multiple of the f32 sublane tile (8).  Keep the
+# per-block live set (absorption block + ~6 elementwise temporaries +
+# the (N, k^2) pair basis) comfortably under the ~16 MB VMEM budget —
+# oversized blocks send the Mosaic allocator into pathological search.
+BLOCK_S = 128
 
 
 def _kernel(y_ref, mu_ref, omega2_ref, v_ref, mask_ref, M_ref, Mp_ref, a_ref,

@@ -37,6 +37,12 @@ def main(argv=None):
     )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
+        "--num-samples",
+        type=int,
+        default=None,
+        help="override the QMC sample count (default: Parameters default)",
+    )
+    parser.add_argument(
         "--checkpoint-every",
         type=int,
         default=0,
@@ -57,7 +63,11 @@ def main(argv=None):
     from .parallel.batch import make_spectra_mesh, process_batch
     from .params import Parameters
 
-    params = Parameters()
+    params = (
+        Parameters(num_dla_samples=args.num_samples)
+        if args.num_samples
+        else Parameters()
+    )
 
     if args.learned_file:
         learned = loaders.load_learned_model(args.learned_file)
@@ -86,12 +96,24 @@ def main(argv=None):
         else generate_subdla_samples(params)
     )
 
+    # per-spectrum failure capture (the reference records all_exceptions
+    # per QSO, multi_dlas/process_qsos_multiple_dlas_meanflux.m:222-233)
     spectra = []
-    for filename, z_qso in zip(args.qso_list, args.z_qso_list):
-        wavelengths, flux, noise_variance, pixel_mask = read_spec(filename)
-        spectra.append(
-            preprocess(wavelengths, flux, noise_variance, pixel_mask, z_qso, params)
-        )
+    kept, all_exceptions = [], []
+    for idx, (filename, z_qso) in enumerate(zip(args.qso_list, args.z_qso_list)):
+        try:
+            wavelengths, flux, noise_variance, pixel_mask = read_spec(filename)
+            spectra.append(
+                preprocess(
+                    wavelengths, flux, noise_variance, pixel_mask, z_qso, params
+                )
+            )
+            kept.append(idx)
+        except Exception as e:
+            print(f"[skip] {filename}: {type(e).__name__}: {e}")
+            all_exceptions.append(idx)
+    qso_list = [args.qso_list[i] for i in kept]
+    z_qso_list = [args.z_qso_list[i] for i in kept]
 
     mesh = make_spectra_mesh() if len(jax.devices()) > 1 else None
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
@@ -132,15 +154,20 @@ def main(argv=None):
         rate = done / (time.time() - t0)
         print(f"[{done}/{len(spectra)}] {rate:.2f} spectra/sec")
 
-    for r, name in zip(results, args.qso_list):
+    for r, name in zip(results, qso_list):
         print(
             f"{name}: p_dla={r.p_dla:.4f} "
             f"MAP z={r.map_z_dlas[0, 0]:.4f} logNHI={r.map_log_nhis[0, 0]:.3f}"
         )
 
     write_catalog(
-        args.output, results, params, args.max_dlas, args.z_qso_list, args.qso_list
+        args.output, results, params, args.max_dlas, z_qso_list, qso_list
     )
+    if all_exceptions:
+        import h5py
+
+        with h5py.File(args.output, "a") as f:
+            f.create_dataset("all_exceptions", data=np.asarray(all_exceptions))
     print(f"wrote {args.output}")
 
 

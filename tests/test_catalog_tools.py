@@ -1,0 +1,98 @@
+"""Catalog tools: merge, JSON/ASCII emitters, ROC, confusion,
+comparison machinery."""
+
+import json
+
+import numpy as np
+
+from gpy_dla_detection_tpu.analysis.catalog_tools import (
+    generate_json_catalog,
+    merge_catalogs,
+    multi_dla_confusion,
+    roc_curve,
+)
+from gpy_dla_detection_tpu.analysis.comparison import (
+    TruthCatalog,
+    compare_catalogs,
+    match_truth,
+)
+
+
+def test_roc_perfect_classifier():
+    p = np.array([0.9, 0.8, 0.7, 0.2, 0.1])
+    t = np.array([True, True, True, False, False])
+    fpr, tpr, thr, auc = roc_curve(p, t)
+    assert auc == 1.0
+
+
+def test_roc_random_classifier():
+    rng = np.random.default_rng(0)
+    p = rng.uniform(size=2000)
+    t = rng.uniform(size=2000) < 0.3
+    _, _, _, auc = roc_curve(p, t)
+    assert 0.45 < auc < 0.55
+
+
+def test_confusion_diagonal():
+    conf = multi_dla_confusion([0, 1, 2, 1], [0, 1, 2, 2], max_k=3)
+    assert conf[0, 0] == 1 and conf[1, 1] == 1 and conf[2, 2] == 1
+    assert conf[2, 1] == 1  # one true-2 predicted-1
+
+
+def test_json_catalog_structure():
+    p = np.array([0.95, 0.1])
+    map_z = np.full((2, 2, 2), np.nan)
+    map_n = np.full((2, 2, 2), np.nan)
+    map_z[0, 0, 0], map_n[0, 0, 0] = 2.5, 20.8
+    mp = np.array([[0.02, 0.03, 0.95, 0.0], [0.85, 0.05, 0.1, 0.0]])
+    cat = generate_json_catalog(p, map_z, map_n, mp, z_qsos=[3.0, 2.5])
+    assert cat[0]["num_dlas"] == 1
+    assert cat[0]["dlas"][0]["z_dla"] == 2.5
+    assert cat[1]["num_dlas"] == 0 and cat[1]["dlas"] == []
+    json.dumps(cat)  # serializable
+
+
+def test_truth_matching_and_comparison():
+    truth = TruthCatalog.from_flat(
+        ids=[10, 10, 30], z_dlas=[2.5, 3.0, 2.2], log_nhis=[20.8, 19.0, 21.5]
+    )
+    ids = [10, 20, 30]
+    has, counts, z_lists, n_lists = match_truth(ids, truth)
+    assert list(has) == [True, False, True]
+    assert list(counts) == [1, 0, 1]  # the 19.0 absorber is sub-DLA
+
+    p = np.array([0.99, 0.05, 0.97])
+    map_z = np.full((3, 4, 4), np.nan)
+    map_n = np.full((3, 4, 4), np.nan)
+    map_z[0, 0, 0], map_n[0, 0, 0] = 2.51, 20.7
+    map_z[2, 0, 0], map_n[2, 0, 0] = 2.21, 21.6
+    mp = np.zeros((3, 6))
+    mp[0, 2] = 1.0  # DLA(1)
+    mp[1, 0] = 1.0  # null
+    mp[2, 2] = 1.0
+    res = compare_catalogs(ids, p, map_z, map_n, mp, truth)
+    assert res.auc == 1.0
+    assert res.confusion[1, 1] == 2 and res.confusion[0, 0] == 1
+    np.testing.assert_allclose(res.delta_z, [0.01, 0.01], atol=1e-12)
+
+
+def test_merge_catalogs(tmp_path):
+    import h5py
+
+    paths = []
+    for shard in range(2):
+        path = str(tmp_path / f"part{shard}.h5")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("p_dlas", data=np.array([0.1 + shard, 0.2 + shard]))
+            f.create_dataset(
+                "model_posteriors",
+                data=np.tile([[0.7, 0.2, 0.1]], (2, 1)),
+            )
+            f.create_dataset("num_dla_samples", data=100)
+        paths.append(path)
+    out = str(tmp_path / "merged.h5")
+    total = merge_catalogs(paths, out)
+    assert total == 4
+    with h5py.File(out, "r") as f:
+        assert f["p_dlas"].shape == (4,)
+        assert f["num_dla_samples"][()] == 100

@@ -147,3 +147,18 @@ def test_catalog_statistics_sane():
     # omega_dla positive
     z_cent, omega, omega_err = cat.omega_dla(2.0, 3.5)
     assert np.all(omega >= 0) and np.all(np.isfinite(omega))
+
+
+def test_omega_dla_cddf_consistent_with_direct():
+    """The CDDF-summed Omega_DLA should agree with the direct-sum
+    estimate within its own confidence interval."""
+    cat, detected, picked, offsets, lnhi = _toy_catalog(num_spec=30, S=300, seed=2)
+    z_cent_d, omega_d, omega_err = cat.omega_dla(2.0, 3.5)
+    z_cent_c, omega_c, o68, o95, xerrs = cat.omega_dla_cddf(2.0, 3.5)
+    assert omega_c.shape[0] == o68.shape[0] == o95.shape[0]
+    for i in range(len(z_cent_c)):
+        assert o95[i, 0] <= omega_c[i] <= o95[i, 1] or omega_c[i] == 0.0
+    # bins with detections: the two estimators agree to ~the error bar
+    for i in range(min(len(omega_d), len(omega_c))):
+        if omega_d[i] > 0 and omega_c[i] > 0:
+            assert abs(omega_d[i] - omega_c[i]) < 4 * (omega_err[i] + 1e-30)

@@ -1,0 +1,64 @@
+"""End-to-end CLI smoke test: synthetic FITS files through the batch
+driver to a processed HDF5 catalog."""
+
+import numpy as np
+
+from gpy_dla_detection_tpu.data.synthetic import (
+    synthetic_learned_model,
+    synthetic_observation,
+)
+from gpy_dla_detection_tpu.params import Parameters
+
+from .test_fits import _write_speclite
+
+
+def test_run_bayes_select_cli(tmp_path, monkeypatch):
+    import h5py
+
+    from gpy_dla_detection_tpu import run_bayes_select
+
+    params = Parameters(num_dla_samples=60)
+    learned = synthetic_learned_model(params)
+
+    files, zs = [], [2.9, 3.15]
+    for i, z in enumerate(zs):
+        wl, fx, nv, pm = synthetic_observation(
+            params, learned, z, seed=i, dlas=[(z - 0.3, 21.2)] if i else None
+        )
+        path = str(tmp_path / f"spec-0001-55555-{i:04d}.fits")
+        _write_speclite(
+            path,
+            fx.astype(np.float32),
+            np.log10(wl).astype(np.float32),
+            (1.0 / nv).astype(np.float32),
+            np.where(pm, 1 << 24, 0).astype(np.int32),
+        )
+        files.append(path)
+
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "processed.h5")
+    run_bayes_select.main(
+        [
+            "--qso_list",
+            *files,
+            "--z_qso_list",
+            *[str(z) for z in zs],
+            "--max_dlas",
+            "2",
+            "--num-samples",
+            "60",
+            "--dtype",
+            "float64",
+            "--output",
+            out,
+        ]
+    )
+
+    with h5py.File(out, "r") as f:
+        p_dlas = f["p_dlas"][()]
+        assert p_dlas.shape == (2,)
+        assert np.all((p_dlas >= 0) & (p_dlas <= 1))
+        assert f["model_posteriors"].shape == (2, 4)
+        assert f["MAP_z_dlas"].shape == (2, 2, 2)
+        # the injected strong DLA should be detected
+        assert p_dlas[1] > 0.5, p_dlas

@@ -63,7 +63,7 @@ def test_wofz_float32_accuracy():
     got_re, _ = wofz_parts(x.astype(np.float32), y.astype(np.float32))
     err = np.abs(np.asarray(got_re, dtype=np.float64) - ref.real)
     rel = err / np.abs(ref.real)
-    assert np.max(err) < 5e-7, np.max(err)  # absolute, units of w(0)=1
+    assert np.max(err) < 1e-6, np.max(err)  # absolute, units of w(0)=1
     assert np.max(rel) < 2e-2, np.max(rel)
     assert np.median(rel) < 2e-6, np.median(rel)
     # outside the annulus, relative accuracy holds
