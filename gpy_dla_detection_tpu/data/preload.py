@@ -72,6 +72,26 @@ def preload_spectra(
     return spectra, flags
 
 
+def compute_snrs(spectra: list[Spectrum | None]) -> np.ndarray:
+    """Per-spectrum signal-to-noise over the modelled window — the
+    quantity the CDDF analysis cuts on
+    (reference: CDDF_analysis/calc_cddf.py:1167-1237 compute_all_snrs).
+
+    Failed spectra get SNR = -1.
+    """
+    snrs = np.full(len(spectra), -1.0)
+    for i, s in enumerate(spectra):
+        if s is None:
+            continue
+        mask = np.asarray(s.mask)
+        if not mask.any():
+            continue
+        flux = np.asarray(s.flux)[mask]
+        sigma = np.sqrt(np.asarray(s.noise_variance)[mask])
+        snrs[i] = float(np.nanmedian(np.abs(flux) / sigma))
+    return snrs
+
+
 def save_preloaded(filename: str, spectra: list[Spectrum], ids=None) -> None:
     """Persist preprocessed spectra as one HDF5 artifact
     (the artifact-DAG stage analogous to preloaded_qsos.mat,

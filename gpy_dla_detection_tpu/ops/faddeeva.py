@@ -29,10 +29,14 @@ import jax.numpy as jnp
 SQRT_PI = 1.7724538509055160273
 
 # region switch radius |z| and term counts (see accuracy test in
-# tests/test_faddeeva.py)
+# tests/test_faddeeva.py).  Term counts are dtype-tiered: the f32 path
+# (TPU production) uses N=20 / K=8 (abs err 3e-9 / rel 3e-11, both far
+# below f32 rounding); the f64 path uses N=40 / K=14 (~1e-14).
 RADIUS = 7.0
 N_WEIDEMAN = 40
 N_CONTINUED_FRACTION = 14
+N_WEIDEMAN_F32 = 20
+N_CONTINUED_FRACTION_F32 = 8
 
 
 def _weideman_coefficients(n: int) -> tuple[np.ndarray, float]:
@@ -53,13 +57,19 @@ def _weideman_coefficients(n: int) -> tuple[np.ndarray, float]:
 
 
 _WEIDEMAN_A, _WEIDEMAN_L = _weideman_coefficients(N_WEIDEMAN)
+_WEIDEMAN_A32, _WEIDEMAN_L32 = _weideman_coefficients(N_WEIDEMAN_F32)
 
 
 def _wofz_weideman(x, y):
     """Weideman rational approximation of w(x + iy), real-pair arithmetic."""
     dtype = x.dtype
-    L = jnp.asarray(_WEIDEMAN_L, dtype)
-    a = [jnp.asarray(c, dtype) for c in _WEIDEMAN_A]
+    coeffs, L_val = (
+        (_WEIDEMAN_A32, _WEIDEMAN_L32)
+        if dtype == jnp.float32
+        else (_WEIDEMAN_A, _WEIDEMAN_L)
+    )
+    L = jnp.asarray(L_val, dtype)
+    a = [jnp.asarray(c, dtype) for c in coeffs]
 
     # recip of (L - iz) = (L + y) - ix
     dr = L + y
@@ -87,10 +97,15 @@ def _wofz_weideman(x, y):
 
 def _wofz_cf(x, y):
     """Truncated continued fraction for w(x + iy), accurate for |z| > ~6."""
+    terms = (
+        N_CONTINUED_FRACTION_F32
+        if x.dtype == jnp.float32
+        else N_CONTINUED_FRACTION
+    )
     # v = z - a_n / v, innermost first, with a_n = n / 2
     vr = x
     vi = y
-    for n in range(N_CONTINUED_FRACTION, 0, -1):
+    for n in range(terms, 0, -1):
         an = n / 2.0
         inv_v2 = an / (vr * vr + vi * vi)
         vr = x - vr * inv_v2

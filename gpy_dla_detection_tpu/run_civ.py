@@ -1,0 +1,92 @@
+"""CLI driver: CIV doublet detection.
+
+Runs the QMC evidence (which the reference never implemented;
+reference: civ_gp.py:248-250) and optionally MCMC parameter refinement
+for each spectrum.
+
+Usage:
+    python -m gpy_dla_detection_tpu.run_civ \
+        --qso_list spec-*.fits --z_qso_list 2.1 ... \
+        --learned-file learned_model-C13_full.mat
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--qso_list", nargs="+", required=True)
+    parser.add_argument("--z_qso_list", nargs="+", type=float, required=True)
+    parser.add_argument("--learned-file", default=None)
+    parser.add_argument("--output", default="processed_civ.h5")
+    parser.add_argument("--num-samples", type=int, default=10000)
+    parser.add_argument("--mcmc-steps", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from .data.fits import read_spec
+    from .data.spectrum import preprocess
+    from .models.civ import (
+        civ_model_posterior,
+        civ_null_log_evidence,
+        civ_qmc_log_evidence,
+        generate_civ_samples,
+    )
+    from .models.learned import LearnedModel, build_spectrum_model
+    from .params import CIVParameters
+
+    params = CIVParameters(num_civ_samples=args.num_samples)
+
+    if args.learned_file:
+        from .data.loaders import load_learned_model
+
+        learned = load_learned_model(args.learned_file)
+    else:
+        raise SystemExit("--learned-file with a trained CIV GP is required")
+
+    samples = generate_civ_samples(params)
+    p_civs, evidences = [], []
+    for fname, z_qso in zip(args.qso_list, args.z_qso_list):
+        wl, flux, nv, pm = read_spec(fname)
+        spec = preprocess(wl, flux, nv, pm, z_qso, params)
+        model = build_spectrum_model(learned.astype(np.float64), spec, params)
+        # the CIV covariance carries no absorption-noise term
+        # (reference: civ_gp.py:158-183)
+        model = model._replace(omega2=np.zeros_like(np.asarray(model.v)))
+        null_ev = float(civ_null_log_evidence(model))
+        civ_ev, lls = civ_qmc_log_evidence(model, samples, params)
+        p_civ = civ_model_posterior(null_ev, float(civ_ev))
+        p_civs.append(p_civ)
+        evidences.append((null_ev, float(civ_ev)))
+        print(f"{fname}: P(CIV|D) = {p_civ:.4f}")
+
+        if args.mcmc_steps:
+            from .models.absorber_mcmc import run_civ_mcmc
+
+            chain, lps, acc = run_civ_mcmc(
+                model, params, jax.random.PRNGKey(0), nsamples=args.mcmc_steps
+            )
+            tail = np.asarray(chain[-args.mcmc_steps // 4 :]).reshape(-1, 3)
+            print(
+                f"  MCMC: z = {np.median(tail[:, 0]):.4f}, "
+                f"logN = {np.median(tail[:, 1]):.3f}, "
+                f"sigma = {np.median(tail[:, 2]):.3g}"
+            )
+
+    import h5py
+
+    with h5py.File(args.output, "w") as f:
+        f.create_dataset("p_civs", data=np.asarray(p_civs))
+        f.create_dataset("log_evidences", data=np.asarray(evidences))
+        f.create_dataset(
+            "qso_list", data=np.asarray(args.qso_list, h5py.string_dtype())
+        )
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()
