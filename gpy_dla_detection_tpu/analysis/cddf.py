@@ -156,6 +156,8 @@ class ProcessedCatalog:
         snr_thresh=-2.0,
         lowzcut=False,
         max_k=1,
+        pixel_noise=None,
+        noise_thresh=0.25,
     ):
         self._z_min = np.asarray(min_z_dlas)
         self._z_max = np.asarray(max_z_dlas)
@@ -177,6 +179,13 @@ class ProcessedCatalog:
         self.lowzcut = lowzcut
         self.proximity_zone = 0.1
         self.bins_per_z = 6
+
+        # optional per-spectrum pixel-noise filtering (reference:
+        # calc_cddf.py:120-124, 605-657): pixel_noise[i] is the noise
+        # variance along spectrum i's searchable z range
+        self.pixel_noise = pixel_noise
+        self.noise_thresh = noise_thresh
+        self.filter_noisy_pixels = pixel_noise is not None
 
         # thresholds (reference: calc_cddf.py:88-96)
         self.p_thresh_spec = 5e-2
@@ -316,12 +325,42 @@ class ProcessedCatalog:
 
         whole = (max_z > z_max) & (min_z < z_min)
         tbin, _ = integrate.quad(path_length_integrand, z_min, z_max)
-        total = np.count_nonzero(whole) * tbin
-        for zmin, zmax in zip(min_z[~whole], max_z[~whole]):
+
+        if not self.filter_noisy_pixels:
+            total = np.count_nonzero(whole) * tbin
+            for zmin, zmax in zip(min_z[~whole], max_z[~whole]):
+                lo, hi = max(z_min, zmin), min(z_max, zmax)
+                if hi > lo:
+                    ans, _ = integrate.quad(path_length_integrand, lo, hi)
+                    total += ans
+            return total
+
+        # noisy-pixel filtering: integrate only over contiguous
+        # low-noise regions of each spectrum (reference: calc_cddf.py:605-657)
+        pn_all = [self.pixel_noise[i] for i in np.where(ind)[0]]
+        pn_all = [pn_all[i] for i in np.where(sel)[0]]
+        no_filter = np.array(
+            [np.all(np.asarray(pn) < self.noise_thresh) for pn in pn_all]
+        )
+        total = np.count_nonzero(whole & no_filter) * tbin
+        for i in np.where(~(whole & no_filter))[0]:
+            zmin, zmax, pn = min_z[i], max_z[i], np.asarray(pn_all[i])
             lo, hi = max(z_min, zmin), min(z_max, zmax)
-            if hi > lo:
+            if hi <= lo:
+                continue
+            if no_filter[i]:
                 ans, _ = integrate.quad(path_length_integrand, lo, hi)
                 total += ans
+                continue
+            zzs = zmin + (zmax - zmin) * np.arange(pn.size) / max(pn.size - 1, 1)
+            good = (pn < self.noise_thresh) & (zzs >= lo) & (zzs <= hi)
+            # contiguous good runs -> piecewise integration
+            edges = np.flatnonzero(np.diff(np.concatenate([[0], good.view(np.int8), [0]])))
+            for start, end in zip(edges[::2], edges[1::2]):
+                a, b = zzs[start], zzs[end - 1]
+                if b > a:
+                    ans, _ = integrate.quad(path_length_integrand, a, b)
+                    total += ans
         return total
 
     # ------------------------------------------------------------------
@@ -344,6 +383,20 @@ class ProcessedCatalog:
                 & (redshifts < upper_z)
                 & (redshifts > lred)
             )
+            if self.filter_noisy_pixels:
+                # exclude samples sitting on noisy pixels
+                # (reference: calc_cddf.py:1003-1008)
+                pn = np.asarray(self.pixel_noise[spec])
+                pind = np.clip(
+                    (
+                        (redshifts - self.z_min(spec))
+                        / (self.z_max(spec) - self.z_min(spec))
+                        * pn.size
+                    ).astype(int),
+                    0,
+                    pn.size - 1,
+                )
+                desired &= pn[pind] < self.noise_thresh
             ind = np.where(desired)[0]
             if ind.size == 0:
                 continue

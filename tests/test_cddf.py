@@ -162,3 +162,27 @@ def test_omega_dla_cddf_consistent_with_direct():
     for i in range(min(len(omega_d), len(omega_c))):
         if omega_d[i] > 0 and omega_c[i] > 0:
             assert abs(omega_d[i] - omega_c[i]) < 4 * (omega_err[i] + 1e-30)
+
+
+def test_path_length_noisy_pixel_filtering():
+    """Pixel-noise filtering removes path where noise exceeds the
+    threshold (reference: calc_cddf.py:605-657)."""
+    from scipy import integrate as _int
+
+    from gpy_dla_detection_tpu.analysis.cddf import path_length_integrand
+
+    cat, *_ = _toy_catalog(num_spec=4, S=50, seed=5)
+    full = cat.path_length(2.0, 3.5)
+
+    # half of each spectrum's pixels too noisy -> about half the path
+    P = 100
+    pn = [np.where(np.arange(P) < P // 2, 0.01, 1.0) for _ in range(4)]
+    cat.pixel_noise = pn
+    cat.noise_thresh = 0.25
+    cat.filter_noisy_pixels = True
+    filtered = cat.path_length(2.0, 3.5)
+    assert filtered < 0.6 * full
+    # expected: integral over the first half of each z range
+    zmid = 2.0 + (3.5 - 2.0) * (P // 2 - 1) / (P - 1)
+    expect = 4 * _int.quad(path_length_integrand, 2.0, zmid)[0]
+    np.testing.assert_allclose(filtered, expect, rtol=0.02)
