@@ -10,9 +10,14 @@ vs_baseline = speedup over the reference's ~1/240 spectra/sec.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent compilation cache: repeated bench runs skip the (slow)
+# remote XLA compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 BASELINE_SPECTRA_PER_SEC = 1.0 / 240.0
 

@@ -105,7 +105,10 @@ def save_preloaded(filename: str, spectra: list[Spectrum], ids=None) -> None:
             f.create_dataset(name, data=np.asarray(getattr(batch, name)))
         f.create_dataset("kept_indices", data=kept)
         if ids is not None:
-            f.create_dataset("ids", data=np.asarray(ids)[kept])
+            arr = np.asarray(ids)[kept]
+            if arr.dtype.kind in "US":
+                arr = arr.astype(h5py.string_dtype(encoding="utf-8"))
+            f.create_dataset("ids", data=arr)
 
 
 def load_preloaded(filename: str) -> tuple[Spectrum, np.ndarray]:

@@ -83,9 +83,6 @@ def halton_sequence(n: int, dim: int, skip: int = 0) -> np.ndarray:
 def _gaussian_fit_integral(lo, hi):
     """integral of exp(-A x^2 + B x + C) over [lo, hi], analytic."""
     m = _FIT_B / (2.0 * _FIT_A)
-    s = 1.0 / np.sqrt(2.0 * _FIT_A)
-    amp = np.exp(_FIT_C + _FIT_A * m * m) * s * np.sqrt(np.pi / 1.0)
-    # integral = amp * sqrt(pi)/ (2 sqrt(A)) * [erf(sqrt(A)(x-m))]
     sa = np.sqrt(_FIT_A)
     return (
         np.exp(_FIT_C + _FIT_B**2 / (4.0 * _FIT_A))

@@ -51,8 +51,18 @@ def _kernel(y_ref, mu_ref, omega2_ref, v_ref, mask_ref, M_ref, Mp_ref, a_ref,
     w = a * a * d_inv  # (BS, N)
     r = a * delta * d_inv
 
-    B_ref[:] = jnp.dot(w, Mp_ref[:], preferred_element_type=jnp.float32)
-    u_ref[:] = jnp.dot(r, M_ref[:], preferred_element_type=jnp.float32)
+    B_ref[:] = jnp.dot(
+        w,
+        Mp_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    u_ref[:] = jnp.dot(
+        r,
+        M_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     quad0 = jnp.sum(delta * delta * d_inv, axis=1, keepdims=True)
     logdet0 = jnp.sum(

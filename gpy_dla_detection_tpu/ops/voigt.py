@@ -33,7 +33,7 @@ def instrumental_broadening(raw):
     ``raw``: (..., P) -> (..., P - 6).
     (reference: gpy_dla_detection/voigt.py:311-320)
     """
-    taps = C.INSTRUMENT_PROFILE
+    taps = jnp.asarray(C.INSTRUMENT_PROFILE, raw.dtype)
     width = C.INSTRUMENT_PROFILE_HALF_WIDTH
     P = raw.shape[-1]
     out = taps[0] * raw[..., : P - 2 * width]

@@ -36,7 +36,7 @@ def main(argv=None):
         civ_qmc_log_evidence,
         generate_civ_samples,
     )
-    from .models.learned import LearnedModel, build_spectrum_model
+    from .models.learned import build_spectrum_model
     from .params import CIVParameters
 
     params = CIVParameters(num_civ_samples=args.num_samples)

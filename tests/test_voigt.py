@@ -93,3 +93,18 @@ def test_instrumental_broadening_matches_convolve():
     for i in range(2):
         ref = np.convolve(raw[i], instrument_profile, "valid")
         np.testing.assert_allclose(got[i], ref, rtol=1e-12)
+
+
+def test_voigt_preserves_float32():
+    """f32 inputs must stay f32 throughout (x64 mode must not promote
+    via numpy constants — regression for the instrument-profile leak)."""
+    wl = _wavelength_grid(200).astype(np.float32)
+    out = voigt_absorption(wl, np.float32(1e20), np.float32(2.5), 3)
+    assert out.dtype == np.float32, out.dtype
+    out = voigt_absorption_lls(wl, np.float32(1e18), np.float32(2.5), 3)
+    assert out.dtype == np.float32
+    out = voigt_absorption_civ(
+        4700.0 * 10 ** (1e-4 * np.arange(100, dtype=np.float32)),
+        np.float32(1e14), np.float32(2.1), np.float32(2.5e6), 2,
+    )
+    assert out.dtype == np.float32
