@@ -95,23 +95,41 @@ def batch_evidences(
 
         specs = astype(specs, dtype)
         learned = learned.astype(dtype)
+
+    multi_device = mesh is not None and mesh.devices.size > 1
     if mesh is not None:
         specs, keys = _shard_batch(specs, keys, mesh)
 
     cast = (lambda x: jnp.asarray(x, dtype)) if dtype is not None else jnp.asarray
-    return _batched_evidences(
-        learned,
-        specs,
-        cast(dla_samples.offset_samples),
-        cast(dla_samples.log_nhi_samples),
-        cast(dla_samples.nhi_samples),
-        cast(subdla_samples.offset_samples),
-        cast(subdla_samples.log_nhi_samples),
-        cast(subdla_samples.nhi_samples),
-        keys,
-        params,
-        max_dlas,
-    )
+
+    import os
+
+    # the fused Pallas kernel is validated single-chip; under GSPMD
+    # partitioning fall back to the XLA composition (TODO round 2:
+    # shard_map + per-shard pallas_call)
+    prev = os.environ.get("GPY_DLA_USE_PALLAS")
+    if multi_device:
+        os.environ["GPY_DLA_USE_PALLAS"] = "0"
+    try:
+        return _batched_evidences(
+            learned,
+            specs,
+            cast(dla_samples.offset_samples),
+            cast(dla_samples.log_nhi_samples),
+            cast(dla_samples.nhi_samples),
+            cast(subdla_samples.offset_samples),
+            cast(subdla_samples.log_nhi_samples),
+            cast(subdla_samples.nhi_samples),
+            keys,
+            params,
+            max_dlas,
+        )
+    finally:
+        if multi_device:
+            if prev is None:
+                os.environ.pop("GPY_DLA_USE_PALLAS", None)
+            else:
+                os.environ["GPY_DLA_USE_PALLAS"] = prev
 
 
 def process_batch(

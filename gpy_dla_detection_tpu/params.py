@@ -201,19 +201,13 @@ class CIVParameters(Parameters):
     num_pixels_padded: int = 768
 
     def min_z_civ(self, wavelengths: np.ndarray, z_qso: float) -> float:
-        """(reference: civ_set_parameter.py:90-103)"""
+        """(reference: civ_set_parameter.py:102-117)"""
         in_window = self._model_window_wavelengths(wavelengths, z_qso)
         return max(
             float(np.min(in_window)) / self.civ_1548_wavelength - 1.0,
-            self.observed_wavelengths(self.min_lambda, z_qso) / self.civ_1548_wavelength
-            - 1.0
-            + self.min_z_cut,
+            self.observed_wavelengths(1310.0, z_qso) / self.civ_1548_wavelength - 1.0,
         )
 
     def max_z_civ(self, wavelengths: np.ndarray, z_qso: float) -> float:
-        """(reference: civ_set_parameter.py:105-117)"""
-        in_window = self._model_window_wavelengths(wavelengths, z_qso)
-        return min(
-            float(np.max(in_window)) / self.civ_1548_wavelength - 1.0 - self.max_z_cut,
-            z_qso - self.max_z_cut,
-        )
+        """(reference: civ_set_parameter.py:90-100)"""
+        return z_qso - self.max_z_cut
