@@ -41,6 +41,42 @@ class TruthCatalog:
         return cls(uniq, z_lists, n_lists)
 
 
+def truth_from_parks_json(filename: str) -> TruthCatalog:
+    """Load a Parks-style (CNN) JSON catalog — also the format this
+    framework's ``generate_json_catalog`` emits
+    (reference: qso_loader.py:969-1054)."""
+    import json
+
+    with open(filename) as f:
+        records = json.load(f)
+    ids, zs, ns = [], [], []
+    for rec in records:
+        for dla in rec.get("dlas", []):
+            ids.append(rec["id"])
+            zs.append(dla["z_dla"])
+            ns.append(dla.get("log_nhi", dla.get("column_density")))
+    return TruthCatalog.from_flat(np.asarray(ids), zs, ns)
+
+
+def truth_from_concordance(dla_catalog_txt: str) -> TruthCatalog:
+    """Load the DR9 concordance plain-text DLA catalog
+    (thing_id, z_dla, log_nhi per row; reference: model_priors.py:98-112)."""
+    rows = np.atleast_2d(np.loadtxt(dla_catalog_txt))
+    return TruthCatalog.from_flat(
+        rows[:, 0].astype(np.int64), rows[:, 1], rows[:, 2]
+    )
+
+
+def truth_from_build_catalog(catalog: dict, name: str) -> TruthCatalog:
+    """Build from a data.build_catalog dict's per-sightline DLA maps
+    (reference: qso_loader.py:410-593 cross-matching)."""
+    z_map = catalog["z_dlas"][name]
+    n_map = catalog["log_nhis"][name]
+    ids = catalog["thing_ids"]
+    keep = np.isfinite(z_map)
+    return TruthCatalog.from_flat(ids[keep], z_map[keep], n_map[keep])
+
+
 def match_truth(ids, truth: TruthCatalog, lnhi_min: float = 20.3):
     """Boolean truth flags + per-sightline absorber lists aligned with
     ``ids``; absorbers below ``lnhi_min`` don't count as DLAs."""

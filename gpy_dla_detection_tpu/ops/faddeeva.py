@@ -36,7 +36,7 @@ RADIUS = 7.0
 N_WEIDEMAN = 40
 N_CONTINUED_FRACTION = 14
 N_WEIDEMAN_F32 = 20
-N_CONTINUED_FRACTION_F32 = 8
+N_CONTINUED_FRACTION_F32 = 5  # 1.8e-8 rel at |z|=7, below f32 rounding
 
 
 def _weideman_coefficients(n: int) -> tuple[np.ndarray, float]:

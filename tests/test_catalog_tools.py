@@ -96,3 +96,29 @@ def test_merge_catalogs(tmp_path):
     with h5py.File(out, "r") as f:
         assert f["p_dlas"].shape == (4,)
         assert f["num_dla_samples"][()] == 100
+
+
+def test_truth_loaders(tmp_path):
+    from gpy_dla_detection_tpu.analysis.comparison import (
+        truth_from_concordance,
+        truth_from_parks_json,
+    )
+
+    # parks JSON round trip through our own emitter format
+    records = [
+        {"id": "42", "z_qso": 3.0, "p_dla": 0.99, "num_dlas": 2,
+         "dlas": [{"z_dla": 2.5, "log_nhi": 20.8}, {"z_dla": 2.7, "log_nhi": 21.0}]},
+        {"id": "43", "z_qso": 2.5, "p_dla": 0.1, "num_dlas": 0, "dlas": []},
+    ]
+    p = tmp_path / "parks.json"
+    p.write_text(json.dumps(records))
+    truth = truth_from_parks_json(str(p))
+    assert list(truth.ids) == ["42"]
+    assert len(truth.z_dlas[0]) == 2
+
+    # concordance text
+    c = tmp_path / "dla_catalog"
+    c.write_text("100 2.3 20.5\n100 2.6 21.1\n200 3.0 20.9\n")
+    truth = truth_from_concordance(str(c))
+    assert list(truth.ids) == [100, 200]
+    np.testing.assert_allclose(truth.log_nhis[0], [20.5, 21.1])
