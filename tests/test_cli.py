@@ -62,3 +62,36 @@ def test_run_bayes_select_cli(tmp_path, monkeypatch):
         assert f["MAP_z_dlas"].shape == (2, 2, 2)
         # the injected strong DLA should be detected
         assert p_dlas[1] > 0.5, p_dlas
+
+
+def test_run_find_lls_cli(tmp_path, monkeypatch):
+    import h5py
+
+    from gpy_dla_detection_tpu import run_find_lls
+
+    params = Parameters(num_dla_samples=50)
+    learned = synthetic_learned_model(params)
+    wl, fx, nv, pm = synthetic_observation(params, learned, 3.0, seed=3)
+    path = str(tmp_path / "spec-0002-55555-0001.fits")
+    _write_speclite(
+        path,
+        fx.astype(np.float32),
+        np.log10(wl).astype(np.float32),
+        (1.0 / nv).astype(np.float32),
+        np.zeros(len(wl), np.int32),
+    )
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "lls.h5")
+    run_find_lls.main(
+        [
+            "--qso_list", path,
+            "--z_qso_list", "3.0",
+            "--max-lya", "2",
+            "--num-samples", "50",
+            "--min-lambda", "911.75",
+            "--output", out,
+        ]
+    )
+    with h5py.File(out, "r") as f:
+        assert f["model_posteriors"].shape == (1, 3)
+        assert np.isfinite(f["log_likelihoods_no_lya"][()]).all()
