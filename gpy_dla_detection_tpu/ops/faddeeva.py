@@ -96,22 +96,28 @@ def _wofz_weideman(x, y):
 
 
 def _wofz_cf(x, y):
-    """Truncated continued fraction for w(x + iy), accurate for |z| > ~6."""
+    """Truncated continued fraction for w(x + iy), accurate for |z| > ~6.
+
+    Guarded against division blow-ups so that evaluating it *inside* the
+    |z| < RADIUS disk yields garbage-but-finite values (the windowed
+    Voigt path relies on exact cancellation of those values).
+    """
     terms = (
         N_CONTINUED_FRACTION_F32
         if x.dtype == jnp.float32
         else N_CONTINUED_FRACTION
     )
+    eps = jnp.asarray(1e-30, x.dtype)
     # v = z - a_n / v, innermost first, with a_n = n / 2
     vr = x
     vi = y
     for n in range(terms, 0, -1):
         an = n / 2.0
-        inv_v2 = an / (vr * vr + vi * vi)
+        inv_v2 = an / (vr * vr + vi * vi + eps)
         vr = x - vr * inv_v2
         vi = y + vi * inv_v2
     # w = i / (sqrt(pi) v)
-    inv_v2 = 1.0 / (SQRT_PI * (vr * vr + vi * vi))
+    inv_v2 = 1.0 / (SQRT_PI * (vr * vr + vi * vi + eps))
     return vi * inv_v2, vr * inv_v2
 
 

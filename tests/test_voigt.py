@@ -108,3 +108,52 @@ def test_voigt_preserves_float32():
         np.float32(1e14), np.float32(2.1), np.float32(2.5e6), 2,
     )
     assert out.dtype == np.float32
+
+
+def test_windowed_fast_path_matches_exact():
+    """The CF+windowed-Weideman fast path must match the exact path to
+    ~1e-4 on the absorption profile (f32 cancellation at the cores)."""
+    import jax.numpy as jnp
+
+    from gpy_dla_detection_tpu.ops.voigt import (
+        _lyman_series_optical_depth,
+        _lyman_series_optical_depth_windowed,
+    )
+    from gpy_dla_detection_tpu.constants import THERMAL_SIGMA_CGS
+
+    wl = _wavelength_grid(1200).astype(np.float32)
+    rng = np.random.default_rng(0)
+    z = rng.uniform(2.0, 2.9, size=64).astype(np.float32)
+    nhi = (10.0 ** rng.uniform(20.0, 22.5, size=64)).astype(np.float32)
+
+    tau_fast = np.asarray(
+        _lyman_series_optical_depth_windowed(
+            jnp.asarray(wl), jnp.asarray(nhi), jnp.asarray(z), 3, THERMAL_SIGMA_CGS
+        )
+    )
+    # same-precision baseline: the windowed trick must add nothing on
+    # top of the exact f32 evaluation
+    tau_f32 = np.asarray(
+        _lyman_series_optical_depth(
+            jnp.asarray(wl), jnp.asarray(nhi), jnp.asarray(z), 3, THERMAL_SIGMA_CGS
+        )
+    )
+    err32 = np.abs(
+        np.exp(-tau_fast.astype(np.float64)) - np.exp(-tau_f32.astype(np.float64))
+    )
+    assert err32.max() < 5e-5, err32.max()
+
+    # vs f64 ground truth: bounded by the intrinsic f32 Faddeeva annulus
+    # error (~1e-3 on the profile at tau-of-order-1 pixels near a core)
+    tau_exact = np.asarray(
+        _lyman_series_optical_depth(
+            jnp.asarray(wl, jnp.float64),
+            jnp.asarray(nhi, jnp.float64),
+            jnp.asarray(z, jnp.float64),
+            3,
+            THERMAL_SIGMA_CGS,
+        )
+    )
+    err = np.abs(np.exp(-tau_fast.astype(np.float64)) - np.exp(-tau_exact))
+    assert err.max() < 5e-3, err.max()
+    assert np.median(err) < 1e-6
