@@ -270,32 +270,74 @@ def fit_lbfgs(
     return p_final, values
 
 
+def save_training_checkpoint(path: str, p: TrainingParams, mu, step: int) -> None:
+    """Step-granular training checkpoint (the reference has none — its
+    recovery is stage-granular .mat artifacts)."""
+    np.savez(
+        path,
+        step=step,
+        mu=np.asarray(mu),
+        **{name: np.asarray(getattr(p, name)) for name in TrainingParams._fields},
+    )
+
+
+def load_training_checkpoint(path: str):
+    """:return: (TrainingParams, mu, step)"""
+    with np.load(path) as f:
+        p = TrainingParams(*[jnp.asarray(f[name]) for name in TrainingParams._fields])
+        return p, f["mu"], int(f["step"])
+
+
 def train_model(
     params: Parameters,
     train: TrainingSet,
     num_iterations: int = 200,
     dtype=jnp.float64,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 0,
 ) -> tuple[LearnedModel, np.ndarray]:
     """Full training: init, optimize, package as a LearnedModel.
 
+    With ``checkpoint_path`` + ``checkpoint_every``, optimization runs in
+    chunks, persists the parameters after each chunk, and resumes from
+    an existing checkpoint file.
+
     :return: (learned_model, loss_history)
     """
-    mu, p0 = initialize(params, train)
+    start_step = 0
+    import os
+
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        p0, mu, start_step = load_training_checkpoint(checkpoint_path)
+        print(f"[train] resuming from {checkpoint_path} at step {start_step}")
+    else:
+        mu, p0 = initialize(params, train)
+
     flux_centered = jnp.asarray(
         np.where(train.mask, train.flux - mu, 0.0), dtype
     )
     p0 = TrainingParams(*[jnp.asarray(x, dtype) for x in p0])
-
-    p_final, values = fit_lbfgs(
-        p0,
+    args = (
         flux_centered,
         jnp.asarray(train.lya_1pz, dtype),
         jnp.asarray(train.noise_variance, dtype),
         jnp.asarray(train.mask),
         jnp.asarray(train.zqso_1pz, dtype),
-        params,
-        num_iterations,
     )
+
+    if checkpoint_path and checkpoint_every:
+        values_all = []
+        p_final = p0
+        step = start_step
+        while step < num_iterations:
+            chunk = min(checkpoint_every, num_iterations - step)
+            p_final, values = fit_lbfgs(p_final, *args, params, chunk)
+            values_all.append(np.asarray(values))
+            step += chunk
+            save_training_checkpoint(checkpoint_path, p_final, mu, step)
+        values = np.concatenate(values_all) if values_all else np.zeros(0)
+    else:
+        p_final, values = fit_lbfgs(p0, *args, params, num_iterations)
 
     learned = LearnedModel(
         rest_wavelengths=train.rest_wavelengths,

@@ -145,3 +145,30 @@ def test_train_model_recovers_synthetic_gp():
     got_mu = learned.mu / np.mean(learned.mu[covered])
     rel = np.abs(got_mu[covered] - truth_mu[covered]) / np.abs(truth_mu[covered])
     assert np.median(rel) < 0.15, np.median(rel)
+
+
+def test_training_checkpoint_resume(tmp_path):
+    """Chunked training with checkpointing resumes mid-run and matches
+    the parameters at the checkpoint step count."""
+    params = Parameters(k=4)
+    truth = synthetic_learned_model(params, seed=5)
+    rng = np.random.default_rng(1)
+    wl_l, fx_l, nv_l, pm_l, zs = [], [], [], [], []
+    for i in range(6):
+        z = float(rng.uniform(2.6, 3.4))
+        wl, fx, nv, pm = synthetic_observation(params, truth, z, seed=300 + i, noise_level=0.05)
+        wl_l.append(wl); fx_l.append(fx); nv_l.append(nv); pm_l.append(pm); zs.append(z)
+    train = prepare_training_set(params, wl_l, fx_l, nv_l, pm_l, zs)
+
+    ckpt = str(tmp_path / "train.npz")
+    learned1, losses1 = train_model(
+        params, train, num_iterations=10, checkpoint_path=ckpt, checkpoint_every=5
+    )
+    assert losses1.shape[0] == 10
+
+    # resume: checkpoint says step 10 -> extending to 15 runs 5 more
+    learned2, losses2 = train_model(
+        params, train, num_iterations=15, checkpoint_path=ckpt, checkpoint_every=5
+    )
+    assert losses2.shape[0] == 5
+    assert np.isfinite(losses2).all()
