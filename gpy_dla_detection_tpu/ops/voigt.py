@@ -31,6 +31,8 @@ SQRT_2PI = 2.5066282746310002
 # center in the windowed fast path; the |z| <= RADIUS core spans only
 # ~±1.3 pixels at SDSS resolution (90 km/s vs 69 km/s pixels)
 WINDOW_HALF_WIDTH = 16
+CHUNK = 128  # window alignment
+FAST_WINDOW = 256  # two aligned chunks per window
 
 
 def instrumental_broadening(raw):
@@ -75,36 +77,46 @@ def _lyman_series_optical_depth(wavelengths, nhi, z_absorber, num_lines, sigma):
 def _lyman_series_optical_depth_windowed(
     wavelengths, nhi, z_absorber, num_lines, sigma
 ):
-    """Fast path: continued-fraction Faddeeva everywhere plus an exact
-    (Weideman) correction scattered onto a ±WINDOW_HALF_WIDTH-pixel
-    window around each line center — the only pixels whose |z| can fall
-    inside the rational approximation's disk.  Requires a 2-D batch:
-    nhi, z (S,); wavelengths (P,).  Accuracy: ~1e-4 relative at the line
-    cores (f32 cancellation of the CF garbage), identical to the exact
-    path elsewhere.
+    """Fast path: continued-fraction Faddeeva everywhere plus the exact
+    (Weideman) evaluation on a 256-pixel window around each line center
+    -- the only pixels whose |z| can fall inside the rational
+    approximation's disk (the core spans ~+-2 pixels at SDSS
+    resolution).
+
+    Windows are aligned to 128-pixel chunks, so each row's window start
+    takes one of only ~P/128 static values: the per-row window
+    gather/scatter becomes a short static loop of masked slice updates
+    -- no XLA scatter (pathologically slow on TPU) and no dynamic
+    indexing at all.
     """
     dtype = wavelengths.dtype
     S = z_absorber.shape[0]
     P = wavelengths.shape[0]
-    W = WINDOW_HALF_WIDTH
+    W = FAST_WINDOW
     inv = 1.0 / (jnp.sqrt(jnp.asarray(2.0, dtype)) * sigma)
     c_over = jnp.asarray(C.SPEED_OF_LIGHT_CGS, dtype)
 
     one_plus_z = (1.0 + z_absorber)[:, None]  # (S, 1)
     tau = jnp.zeros((S, P), dtype)
-    correction = jnp.zeros((S, num_lines, 2 * W), dtype)
-    starts = jnp.zeros((S, num_lines), jnp.int32)
+
+    max_start = max(((P - W) // CHUNK) * CHUNK, 0)
+    end_start = max(P - W, 0)
+    candidate_starts = list(range(0, max_start + 1, CHUNK))
+    if end_start > max_start:
+        # end-aligned window so line centers in the last partial chunk
+        # stay covered
+        candidate_starts.append(end_start)
 
     for l in range(num_lines):
         lam_l = jnp.asarray(C.LYMAN_WAVELENGTHS_A[l], dtype)
         lead_l = jnp.asarray(C.LYMAN_LEADING_CONSTANTS[l], dtype)
         gam_l = jnp.asarray(C.LYMAN_LORENTZIAN_WIDTHS[l], dtype)
         amp = lead_l * inv / jnp.asarray(jnp.sqrt(jnp.pi), dtype)
-        lam_c = lam_l * one_plus_z  # (S, 1)
+        lam_c = lam_l * one_plus_z  # line center, observed frame (S, 1)
         y_l = gam_l * inv
 
         # cheap CF evaluation over all pixels; inside the |z| <= RADIUS
-        # disk the CF is invalid — contribute exactly zero there (the
+        # disk the CF is invalid -- contribute exactly zero there (the
         # window pass below adds the exact value, with no cancellation)
         x_all = (wavelengths - lam_c) * (c_over / lam_c) * inv  # (S, P)
         ax_all = jnp.abs(x_all)
@@ -112,27 +124,51 @@ def _lyman_series_optical_depth_windowed(
         outer_all = ax_all * ax_all + y_l * y_l > RADIUS * RADIUS
         tau = tau + amp * jnp.where(outer_all, cf_re, 0.0)
 
-        # exact evaluation on the window around the line center (the
-        # only pixels that can fall inside the disk)
-        idx = jnp.searchsorted(wavelengths, lam_c[:, 0]).astype(jnp.int32)
-        start = jnp.clip(idx - W, 0, P - 2 * W)  # (S,)
-        win_idx = start[:, None] + jnp.arange(2 * W, dtype=jnp.int32)  # (S, 2W)
-        wl_win = wavelengths[win_idx]  # (S, 2W)
+        # aligned window start per row (the center sits >= 64 px inside
+        # its window; the 3000 km/s z cut keeps centers away from edges)
+        center = jnp.searchsorted(wavelengths, lam_c[:, 0]).astype(jnp.int32)
+        start = jnp.clip(
+            ((center - CHUNK // 2) // CHUNK) * CHUNK, 0, max_start
+        )  # (S,)
+        # centers past the last aligned window use the end-aligned one
+        start = jnp.where(center - start > W - CHUNK // 2, end_start, start)
+
+        # assemble each row's window wavelengths by static-chunk blending
+        wl_win = jnp.zeros((S, W), dtype)
+        for s0 in candidate_starts:
+            sel = (start == s0)[:, None]
+            wl_win = jnp.where(sel, wavelengths[s0 : s0 + W][None, :], wl_win)
+
         x_win = (wl_win - lam_c) * (c_over / lam_c) * inv
         ax = jnp.abs(x_win)
-        y_win = jnp.full_like(x_win, y_l)
         inner = ax * ax + y_l * y_l <= RADIUS * RADIUS
-        wei_win, _ = _wofz_weideman(jnp.where(inner, ax, 0.0), y_win)
-        correction = correction.at[:, l, :].set(
-            amp * jnp.where(inner, wei_win, 0.0)
+        wei_win, _ = _wofz_weideman(
+            jnp.where(inner, ax, 0.0), jnp.full_like(x_win, y_l)
         )
-        starts = starts.at[:, l].set(start)
+        corr = amp * jnp.where(inner, wei_win, 0.0)  # (S, W)
 
-    # scatter-add all window corrections
-    rows = jnp.arange(S, dtype=jnp.int32)[:, None, None]
-    cols = starts[:, :, None] + jnp.arange(2 * W, dtype=jnp.int32)
-    tau = tau.at[rows, cols].add(correction)
+        # masked static-slice updates instead of a scatter
+        for s0 in candidate_starts:
+            sel = (start == s0)[:, None]
+            tau = tau.at[:, s0 : s0 + W].add(jnp.where(sel, corr, 0.0))
+
     return nhi[:, None] * tau
+
+
+def _use_pallas_voigt(x) -> bool:
+    """Fused Pallas voigt kernel — opt-in only: its per-row fori-loop
+    window stores serialize badly (12.9 vs 18.7 spectra/s end to end);
+    the static-chunk jnp path below is the production fast path."""
+    import os
+
+    from .logmvn import _on_tpu
+
+    return (
+        os.environ.get("GPY_DLA_PALLAS_VOIGT", "0") == "1"
+        and jnp.result_type(x) == jnp.float32
+        and not jax.config.jax_enable_x64
+        and _on_tpu(x)
+    )
 
 
 def _use_fast_voigt(x) -> bool:
@@ -140,11 +176,10 @@ def _use_fast_voigt(x) -> bool:
 
     from .logmvn import _on_tpu
 
-    # off by default: the windowed evaluation saves ~3x Faddeeva flops
-    # but its (S, L, 2W) scatter-add lowers to a catastrophically slow
-    # op on TPU (measured 18 -> 6.7 spectra/s end to end).  Kept for a
-    # future Pallas variant where the window update is a per-row
-    # dynamic-slice store instead of an XLA scatter.
+    # opt-in: the static-chunk windowed evaluation needs ~3x fewer
+    # Faddeeva flops, but its 27 masked slice-updates per Voigt pass
+    # cost more HBM traffic than the flops saved (measured 14.2 vs
+    # 18.7 spectra/s end to end) — the exact blend stays the default.
     return (
         os.environ.get("GPY_DLA_FAST_VOIGT", "0") == "1"
         and jnp.result_type(x) == jnp.float32
@@ -171,6 +206,16 @@ def voigt_absorption(
     """
     nhi = jnp.asarray(nhi)
     z_absorber = jnp.asarray(z_absorber)
+    if (
+        z_absorber.ndim == 1
+        and wavelengths.ndim == 1
+        and broadening
+        and sigma == C.THERMAL_SIGMA_CGS
+        and _use_pallas_voigt(wavelengths)
+    ):
+        from .voigt_pallas import voigt_absorption_pallas
+
+        return voigt_absorption_pallas(wavelengths, nhi, z_absorber, num_lines)
     if (
         z_absorber.ndim == 1
         and wavelengths.ndim == 1
