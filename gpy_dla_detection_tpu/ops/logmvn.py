@@ -131,6 +131,11 @@ def _on_tpu(x) -> bool:
             return any(d.platform == "tpu" for d in x.devices())
     except Exception:
         pass
+    # a configured default device wins over the backend ranking (some
+    # TPU plugins register even when JAX_PLATFORMS asks for cpu)
+    default_device = jax.config.jax_default_device
+    if default_device is not None:
+        return getattr(default_device, "platform", None) == "tpu"
     return jax.default_backend() == "tpu"
 
 
