@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..data.samples import _FIT_UPPER, _gaussian_fit_integral
 from ..ops.logmvn import log_mvnpdf_low_rank

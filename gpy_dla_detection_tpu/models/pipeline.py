@@ -8,7 +8,6 @@ reference driver loop (reference: run_bayes_select.py:141-245).
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import NamedTuple
 

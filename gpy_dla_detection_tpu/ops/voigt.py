@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as C
-from .faddeeva import RADIUS, SQRT_PI, _wofz_cf, _wofz_weideman, wofz_parts
+from .faddeeva import RADIUS, _wofz_cf, _wofz_weideman, wofz_parts
 
 SQRT_2PI = 2.5066282746310002
 

@@ -108,3 +108,22 @@ def test_inference_recovers_redshift():
     spec = prepare_z_spectrum(wl, flux, nv, pm)
     z_map, lls, grid = inference_z_qso(learned, spec, params)
     assert abs(z_map - z_true) < 0.05, z_map
+
+
+def test_batch_redshift_accuracy():
+    """Batch accuracy criterion mirroring the reference's acceptance
+    test: P(|z_map - z_true| < 0.5) must be high over a set of spectra
+    (reference: tests/test_zestimation.py:53-70 requires > 0.98 over
+    100 real spectra; here: all of 8 synthetic ones)."""
+    params = ZParameters(k=5, num_zqso_samples=300)
+    learned = _z_learned()
+    rng = np.random.default_rng(3)
+    hits = 0
+    n = 8
+    for i in range(n):
+        z_true = float(rng.uniform(2.4, 4.6))
+        wl, flux, nv, pm = _observation(learned, z_true, seed=50 + i)
+        spec = prepare_z_spectrum(wl, flux, nv, pm)
+        z_map, _, _ = inference_z_qso(learned, spec, params)
+        hits += abs(z_map - z_true) < 0.5
+    assert hits == n, hits
