@@ -1,0 +1,74 @@
+"""Smoke tests: every plot function renders without error (Agg)."""
+
+import numpy as np
+import jax
+import matplotlib
+
+matplotlib.use("Agg")
+
+
+def test_all_plots_render(tmp_path):
+    from gpy_dla_detection_tpu import plotting
+    from gpy_dla_detection_tpu.data.samples import generate_dla_samples
+    from gpy_dla_detection_tpu.data.spectrum import preprocess
+    from gpy_dla_detection_tpu.data.synthetic import (
+        synthetic_learned_model,
+        synthetic_observation,
+    )
+    from gpy_dla_detection_tpu.models.evidence import qmc_log_evidences
+    from gpy_dla_detection_tpu.models.learned import build_spectrum_model
+    from gpy_dla_detection_tpu.params import Parameters
+    import jax.numpy as jnp
+
+    params = Parameters(num_dla_samples=80)
+    learned = synthetic_learned_model(params)
+    wl, fx, nv, pm = synthetic_observation(params, learned, 3.0, seed=2, dlas=[(2.7, 21.0)])
+    spec = preprocess(wl, fx, nv, pm, 3.0, params)
+    model = build_spectrum_model(learned.astype(np.float64), spec, params)
+    s = generate_dla_samples(params)
+    result = qmc_log_evidences(
+        model,
+        jnp.asarray(s.offset_samples),
+        jnp.asarray(s.log_nhi_samples),
+        jnp.asarray(s.nhi_samples),
+        jax.random.PRNGKey(0),
+        2,
+        params,
+    )
+
+    ax = plotting.plot_raw_spectrum(wl, fx, 3.0)
+    assert ax is not None
+
+    z_s = float(spec.min_z_dla) + (
+        float(spec.max_z_dla) - float(spec.min_z_dla)
+    ) * s.offset_samples
+    fig = plotting.plot_dla_model(
+        model,
+        params,
+        sample_z_dlas=z_s,
+        log_nhi_samples=s.log_nhi_samples,
+        sample_log_likelihoods=np.asarray(result.sample_log_likelihoods),
+        map_z_dlas=np.asarray(result.map_z_dlas),
+        map_log_nhis=np.asarray(result.map_log_nhis),
+        nth_dla=1,
+        title="test",
+    )
+    fig.savefig(str(tmp_path / "dla.png"), dpi=40)
+
+    chain = np.random.default_rng(0).normal(size=(50, 8, 2)) + [2.7, 21.0]
+    fig = plotting.plot_corner(chain, labels=["z", "logNHI"], burn_in=10)
+    fig.savefig(str(tmp_path / "corner.png"), dpi=40)
+
+    fig = plotting.plot_sample_predictions(chain, model, params, n_draws=5)
+    fig.savefig(str(tmp_path / "draws.png"), dpi=40)
+
+    # CDDF-style plots from toy arrays
+    l_cent = np.linspace(20.4, 22.6, 5)
+    cddf = 10.0 ** (-21 - (l_cent - 20.4))
+    band = np.stack([cddf * 0.5, cddf * 2], axis=1)
+    ax = plotting.plot_cddf(l_cent, cddf, band, band, (cddf * 0, cddf * 0))
+    z_cent = np.array([2.2, 2.6, 3.0])
+    dndx = np.array([0.05, 0.06, 0.07])
+    band = np.stack([dndx * 0.7, dndx * 1.3], axis=1)
+    ax = plotting.plot_line_density(z_cent, dndx, band, band, (z_cent * 0, z_cent * 0))
+    ax = plotting.plot_omega_dla(z_cent, dndx * 1e-2, dndx * 1e-3)
