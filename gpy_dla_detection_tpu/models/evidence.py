@@ -70,6 +70,8 @@ def qmc_log_evidences(
     params: Parameters,
     base_inds_override: jnp.ndarray | None = None,
     profile: str = "dla",
+    use_pallas: bool | None = None,
+    voigt_impl: str | None = None,
 ) -> QMCEvidenceResult:
     """Marginalize the k-absorber models over the QMC sample set.
 
@@ -82,6 +84,8 @@ def qmc_log_evidences(
     :param base_inds_override: optional (max_k - 1, S) resampling
         indices; replaces the categorical draws (used to reproduce a
         reference run bit-for-bit in conformance tests).
+    :param use_pallas, voigt_impl: static kernel selection, threaded to
+        ops.logmvn / ops.voigt (None = auto; see ops/kernel_config.py).
     """
     S = offset_samples.shape[0]
     dtype = model.y.dtype
@@ -92,7 +96,11 @@ def qmc_log_evidences(
 
     # single-absorber profiles for every sample, computed once: (S, N)
     A = PROFILES[profile](
-        model.padded_wavelengths, nhi_samples, z_samples, params.num_lines
+        model.padded_wavelengths,
+        nhi_samples,
+        z_samples,
+        params.num_lines,
+        impl=voigt_impl,
     )
 
     M_pair = pair_basis(model.M)
@@ -102,6 +110,9 @@ def qmc_log_evidences(
     z_rows = [z_samples]  # level-k absorber redshifts, one row per chain slot
     lognhi_rows = [log_nhi_samples]
     alive = jnp.asarray(True)
+    # previous level's resampling weights: (validity mask, centered lls)
+    prev_valid = jnp.ones((S,), dtype=bool)
+    prev_ll_centered = jnp.zeros((S,), dtype)
 
     log_evidences = []
     sample_lls = []
@@ -116,7 +127,7 @@ def qmc_log_evidences(
             if base_inds_override is not None:
                 base = base_inds_override[k0 - 1]
             else:
-                logits = jnp.where(valid, ll_centered, -jnp.inf)  # noqa: F821
+                logits = jnp.where(prev_valid, prev_ll_centered, -jnp.inf)
                 # if the previous level underflowed entirely, keep indices
                 # in-range with uniform logits (results are NaN-masked)
                 logits = jnp.where(alive, logits, jnp.zeros_like(logits))
@@ -128,7 +139,11 @@ def qmc_log_evidences(
             z_g = z_samples[base]
             nhi_g = nhi_samples[base]
             cum_extra = cum_extra * PROFILES[profile](
-                model.padded_wavelengths, nhi_g, z_g, params.num_lines
+                model.padded_wavelengths,
+                nhi_g,
+                z_g,
+                params.num_lines,
+                impl=voigt_impl,
             )
             z_rows.append(z_g)
             lognhi_rows.append(log_nhi_samples[base])
@@ -145,6 +160,7 @@ def qmc_log_evidences(
                 model.mask,
                 absorption,
                 M_pair,
+                use_pallas=use_pallas,
             )
             - log_S
         )
@@ -161,6 +177,7 @@ def qmc_log_evidences(
         n_valid = jnp.sum(valid)
         mean_prob = jnp.sum(jnp.where(valid, jnp.exp(ll_centered), 0.0)) / n_valid
         evidence = max_ll + jnp.log(mean_prob) - k0 * log_S
+        prev_valid, prev_ll_centered = valid, ll_centered
 
         evidence = jnp.where(alive, evidence, jnp.nan)
         alive = alive & jnp.isfinite(evidence)

@@ -49,9 +49,15 @@ class ZSpectrum(NamedTuple):
 
 
 def prepare_z_spectrum(
-    wavelengths, flux, noise_variance, pixel_mask, num_pixels: int = 5120
+    wavelengths, flux, noise_variance, pixel_mask, num_pixels: int | None = None
 ) -> ZSpectrum:
-    """Pad one observed spectrum to a fixed pixel count (host-side)."""
+    """Pad one observed spectrum to a fixed pixel count (host-side).
+
+    ``num_pixels`` defaults to ``ZParameters.num_pixels_padded`` — the
+    single source of truth for the zQSO padding size.
+    """
+    if num_pixels is None:
+        num_pixels = ZParameters().num_pixels_padded
     wavelengths = np.asarray(wavelengths, np.float64)
     flux = np.asarray(flux, np.float64)
     noise_variance = np.asarray(noise_variance, np.float64)

@@ -1,0 +1,86 @@
+"""Kernel-implementation selection.
+
+The hot ops have more than one implementation (fused Pallas kernel vs
+XLA composition for the Woodbury log-density; exact vs windowed vs
+Pallas Voigt).  Which one runs is an explicit *static argument* threaded
+through the call chain — never read from the environment inside traced
+code, so behavior cannot depend on jit-cache state or call order.
+
+The ``GPY_DLA_*`` environment variables are read exactly once, here, at
+import time, and only set the defaults used when a caller passes
+``None`` ("auto").
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+# fused Pallas Woodbury kernel (ops/logmvn_pallas.py); on by default on
+# TPU — ~30% faster end to end than the XLA composition (PERFORMANCE.md)
+DEFAULT_USE_PALLAS: bool = os.environ.get("GPY_DLA_USE_PALLAS", "1") == "1"
+
+# Voigt evaluation strategy: "exact" (full Weideman+CF blend, default),
+# "windowed" (static-chunk windowed correction) or "pallas" — the last
+# two lost end to end on v5e and stay opt-in (PERFORMANCE.md)
+if os.environ.get("GPY_DLA_PALLAS_VOIGT", "0") == "1":
+    DEFAULT_VOIGT_IMPL: str = "pallas"
+elif os.environ.get("GPY_DLA_FAST_VOIGT", "0") == "1":
+    DEFAULT_VOIGT_IMPL = "windowed"
+else:
+    DEFAULT_VOIGT_IMPL = "exact"
+
+
+def on_tpu(x) -> bool:
+    """Best-effort: will ``x`` be dispatched to a TPU?
+
+    Deterministic given the jax configuration (no environment reads): a
+    configured default device wins over the backend ranking, because
+    some TPU plugins register themselves even when JAX_PLATFORMS asks
+    for cpu.
+    """
+    try:
+        aval_devices = getattr(x, "devices", None)
+        if callable(aval_devices):
+            return any(d.platform == "tpu" for d in x.devices())
+    except Exception:
+        pass
+    default_device = jax.config.jax_default_device
+    if default_device is not None:
+        return getattr(default_device, "platform", None) == "tpu"
+    return jax.default_backend() == "tpu"
+
+
+def pallas_eligible(x) -> bool:
+    """The compiled fused kernels require f32 without global x64
+    upcasting (Mosaic rejects the i64 index mode x64 implies)."""
+    return jnp.result_type(x) == jnp.float32 and not jax.config.jax_enable_x64
+
+
+def resolve_use_pallas(use_pallas: bool | None, x) -> bool:
+    """Resolve the tri-state kernel selection for the Woodbury op.
+
+    ``None``: auto — the import-time default, gated on Mosaic
+    eligibility and on actually being on TPU.  ``True``: forced — f32
+    inputs required; off-TPU the kernel runs in interpret mode (the
+    x64 restriction is Mosaic-only, so tests on the virtual CPU mesh
+    may force the kernel with x64 globally enabled).
+    """
+    if use_pallas is None:
+        return DEFAULT_USE_PALLAS and pallas_eligible(x) and on_tpu(x)
+    if not use_pallas:
+        return False
+    if jnp.result_type(x) != jnp.float32:
+        return False
+    return not (on_tpu(x) and jax.config.jax_enable_x64)
+
+
+def resolve_voigt_impl(impl: str | None, x) -> str:
+    """Resolve the Voigt strategy; the fast paths are f32/TPU-only."""
+    if impl is None:
+        impl = DEFAULT_VOIGT_IMPL
+    if impl != "exact" and not (pallas_eligible(x) and on_tpu(x)):
+        return "exact"
+    return impl

@@ -33,6 +33,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .kernel_config import on_tpu, resolve_use_pallas
+
 LOG_2PI = 1.8378770664093453
 
 
@@ -124,22 +126,9 @@ def batched_quad_logdet(B, u):
     return quad, logdet
 
 
-def _on_tpu(x) -> bool:
-    try:
-        aval_devices = getattr(x, "devices", None)
-        if callable(aval_devices):
-            return any(d.platform == "tpu" for d in x.devices())
-    except Exception:
-        pass
-    # a configured default device wins over the backend ranking (some
-    # TPU plugins register even when JAX_PLATFORMS asks for cpu)
-    default_device = jax.config.jax_default_device
-    if default_device is not None:
-        return getattr(default_device, "platform", None) == "tpu"
-    return jax.default_backend() == "tpu"
-
-
-def batched_log_mvnpdf(y, mu, M, omega2, v, mask, absorption, M_pair=None):
+def batched_log_mvnpdf(
+    y, mu, M, omega2, v, mask, absorption, M_pair=None, use_pallas=None
+):
     """log N(y; mu * a_s, (M a_s)(M a_s)^T + diag(omega2 a_s^2 + v)) for a
     batch of absorption profiles ``a_s``.
 
@@ -148,6 +137,10 @@ def batched_log_mvnpdf(y, mu, M, omega2, v, mask, absorption, M_pair=None):
     :param mask: (N,) bool.
     :param absorption: (S, N) absorption profiles.
     :param M_pair: optional precomputed ``pair_basis(M)``.
+    :param use_pallas: kernel selection (static): None = auto (Pallas on
+        TPU/f32, XLA composition otherwise), True = force the Pallas
+        kernel (interpret mode off-TPU — tests), False = force the XLA
+        composition.
     :return: (S,) log densities.
     """
     k = M.shape[-1]
@@ -156,19 +149,13 @@ def batched_log_mvnpdf(y, mu, M, omega2, v, mask, absorption, M_pair=None):
 
     # Fused Pallas kernel: ~30% faster end to end than the XLA-fused
     # composition below at identical accuracy (HIGHEST-precision dots);
-    # see ops/logmvn_pallas.py.  GPY_DLA_USE_PALLAS=0 disables.
-    import os
-
-    if (
-        os.environ.get("GPY_DLA_USE_PALLAS", "1") == "1"
-        and jnp.result_type(y) == jnp.float32
-        and not jax.config.jax_enable_x64  # Mosaic rejects i64 index mode
-        and _on_tpu(y)
-    ):
+    # see ops/logmvn_pallas.py.
+    if resolve_use_pallas(use_pallas, y):
         from .logmvn_pallas import batched_log_mvnpdf_pallas
 
         return batched_log_mvnpdf_pallas(
-            y, mu, M, omega2, v, mask, absorption, M_pair, k
+            y, mu, M, omega2, v, mask, absorption, M_pair, k,
+            interpret=not on_tpu(y),
         )
 
     a = jnp.where(mask, absorption, 1.0)

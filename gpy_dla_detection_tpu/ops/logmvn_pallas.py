@@ -72,11 +72,15 @@ def _kernel(y_ref, mu_ref, omega2_ref, v_ref, mask_ref, M_ref, Mp_ref, a_ref,
     scal_ref[:, 1:2] = logdet0
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def batched_log_mvnpdf_pallas(y, mu, M, omega2, v, mask, absorption, M_pair, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def batched_log_mvnpdf_pallas(
+    y, mu, M, omega2, v, mask, absorption, M_pair, k: int, interpret: bool = False
+):
     """Fused TPU evaluation of the batched masked Woodbury log-density.
 
-    Same contract as ops/logmvn.batched_log_mvnpdf (f32, TPU only).
+    Same contract as ops/logmvn.batched_log_mvnpdf (f32; ``interpret``
+    runs the kernel through the Pallas interpreter so correctness tests
+    can exercise it on the virtual CPU mesh).
     """
     S, N = absorption.shape
     n_blocks = -(-S // BLOCK_S)
@@ -112,6 +116,7 @@ def batched_log_mvnpdf_pallas(y, mu, M, omega2, v, mask, absorption, M_pair, k: 
             jax.ShapeDtypeStruct((S_pad, k), jnp.float32),
             jax.ShapeDtypeStruct((S_pad, 2), jnp.float32),
         ),
+        interpret=interpret,
     )(
         row(y),
         row(mu),

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from .faddeeva import RADIUS, _wofz_cf, _wofz_weideman, wofz_parts
+from .kernel_config import resolve_voigt_impl
 
 SQRT_2PI = 2.5066282746310002
 
@@ -155,39 +156,6 @@ def _lyman_series_optical_depth_windowed(
     return nhi[:, None] * tau
 
 
-def _use_pallas_voigt(x) -> bool:
-    """Fused Pallas voigt kernel — opt-in only: its per-row fori-loop
-    window stores serialize badly (12.9 vs 18.7 spectra/s end to end);
-    the static-chunk jnp path below is the production fast path."""
-    import os
-
-    from .logmvn import _on_tpu
-
-    return (
-        os.environ.get("GPY_DLA_PALLAS_VOIGT", "0") == "1"
-        and jnp.result_type(x) == jnp.float32
-        and not jax.config.jax_enable_x64
-        and _on_tpu(x)
-    )
-
-
-def _use_fast_voigt(x) -> bool:
-    import os
-
-    from .logmvn import _on_tpu
-
-    # opt-in: the static-chunk windowed evaluation needs ~3x fewer
-    # Faddeeva flops, but its 27 masked slice-updates per Voigt pass
-    # cost more HBM traffic than the flops saved (measured 14.2 vs
-    # 18.7 spectra/s end to end) — the exact blend stays the default.
-    return (
-        os.environ.get("GPY_DLA_FAST_VOIGT", "0") == "1"
-        and jnp.result_type(x) == jnp.float32
-        and not jax.config.jax_enable_x64
-        and _on_tpu(x)
-    )
-
-
 def voigt_absorption(
     wavelengths,
     nhi,
@@ -195,32 +163,36 @@ def voigt_absorption(
     num_lines: int = 3,
     broadening: bool = True,
     sigma: float = C.THERMAL_SIGMA_CGS,
+    impl: str | None = None,
 ):
     """Absorption profile exp(-tau) of one absorber per sample.
 
     :param wavelengths: (P,) observed (padded) wavelengths [A].
     :param nhi: (...,) HI column densities [cm^-2].
     :param z_absorber: (...,) absorber redshifts.
+    :param impl: evaluation strategy (static): None = auto (import-time
+        default), "exact" = full Weideman+CF blend (production default),
+        "windowed" = static-chunk windowed correction, "pallas" = fused
+        kernel.  The fast paths lost end to end on v5e and stay opt-in
+        (PERFORMANCE.md); both require 1-D inputs / default sigma and
+        fall back to "exact" otherwise.
     :return: (..., P - 6) if ``broadening`` else (..., P).
     (reference: gpy_dla_detection/voigt.py:251-322)
     """
     nhi = jnp.asarray(nhi)
     z_absorber = jnp.asarray(z_absorber)
+    impl = resolve_voigt_impl(impl, wavelengths)
+    structured = z_absorber.ndim == 1 and wavelengths.ndim == 1
     if (
-        z_absorber.ndim == 1
-        and wavelengths.ndim == 1
+        impl == "pallas"
+        and structured
         and broadening
         and sigma == C.THERMAL_SIGMA_CGS
-        and _use_pallas_voigt(wavelengths)
     ):
         from .voigt_pallas import voigt_absorption_pallas
 
         return voigt_absorption_pallas(wavelengths, nhi, z_absorber, num_lines)
-    if (
-        z_absorber.ndim == 1
-        and wavelengths.ndim == 1
-        and _use_fast_voigt(wavelengths)
-    ):
+    if impl == "windowed" and structured:
         tau = _lyman_series_optical_depth_windowed(
             wavelengths, nhi, z_absorber, num_lines, sigma
         )
@@ -241,6 +213,7 @@ def voigt_absorption_lls(
     num_lines: int = 3,
     broadening: bool = True,
     sigma: float = C.THERMAL_SIGMA_CGS,
+    impl: str | None = None,
 ):
     """Absorption profile including the Lyman-limit break opacity.
 
@@ -251,7 +224,15 @@ def voigt_absorption_lls(
     lambda_lyman_limit = 911.7641
     nhi = jnp.asarray(nhi)
     z_absorber = jnp.asarray(z_absorber)
-    tau = _lyman_series_optical_depth(wavelengths, nhi, z_absorber, num_lines, sigma)
+    impl = resolve_voigt_impl(impl, wavelengths)
+    if impl == "windowed" and z_absorber.ndim == 1 and wavelengths.ndim == 1:
+        tau = _lyman_series_optical_depth_windowed(
+            wavelengths, nhi, z_absorber, num_lines, sigma
+        )
+    else:
+        tau = _lyman_series_optical_depth(
+            wavelengths, nhi, z_absorber, num_lines, sigma
+        )
     rest = wavelengths / (1.0 + z_absorber)[..., None]
     tau_break = jnp.where(
         rest > lambda_lyman_limit,

@@ -8,10 +8,19 @@ per-spectrum evidence computation is vmapped over a batch whose leading
 axis is sharded across devices, the learned model and QMC samples are
 replicated, and the only communication is the implicit gather of
 per-spectrum scalar results — riding ICI within a slice.
+
+On meshes with more than one device the batch runs under
+``jax.shard_map`` rather than GSPMD auto-partitioning: every shard is
+an independent single-device program, so the fused Pallas kernels
+(ops/logmvn_pallas.py) run per shard exactly as they do single-chip —
+no cross-device partitioning of a ``pallas_call`` is ever required, and
+no collective appears anywhere in the hot loop (the per-spectrum work
+is embarrassingly parallel by construction).
 """
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -39,7 +48,54 @@ def make_spectra_mesh(devices=None) -> Mesh:
     return Mesh(devices, ("spectra",))
 
 
-@partial(jax.jit, static_argnames=("params", "max_dlas"))
+def _evidences_fn(params: Parameters, max_dlas: int, use_pallas):
+    """The vmapped per-batch evidence computation (pure function of the
+    array arguments; `params`/`max_dlas`/`use_pallas` are static)."""
+
+    def batched(
+        learned,
+        specs,
+        dla_offsets,
+        dla_log_nhi,
+        dla_nhi,
+        sub_offsets,
+        sub_log_nhi,
+        sub_nhi,
+        keys,
+    ):
+        def one(spec, key):
+            model = build_spectrum_model(learned, spec, params)
+            k_dla, k_sub = jax.random.split(key)
+            return EvidenceOutputs(
+                log_evidence_null=null_log_evidence(model),
+                dla=qmc_log_evidences(
+                    model,
+                    dla_offsets,
+                    dla_log_nhi,
+                    dla_nhi,
+                    k_dla,
+                    max_dlas,
+                    params,
+                    use_pallas=use_pallas,
+                ),
+                subdla=qmc_log_evidences(
+                    model,
+                    sub_offsets,
+                    sub_log_nhi,
+                    sub_nhi,
+                    k_sub,
+                    1,
+                    params,
+                    use_pallas=use_pallas,
+                ),
+            )
+
+        return jax.vmap(one)(specs, keys)
+
+    return batched
+
+
+@partial(jax.jit, static_argnames=("params", "max_dlas", "use_pallas"))
 def _batched_evidences(
     learned: LearnedModel,
     specs: Spectrum,
@@ -52,21 +108,40 @@ def _batched_evidences(
     keys,
     params: Parameters,
     max_dlas: int,
+    use_pallas=None,
 ) -> EvidenceOutputs:
-    def one(spec, key):
-        model = build_spectrum_model(learned, spec, params)
-        k_dla, k_sub = jax.random.split(key)
-        return EvidenceOutputs(
-            log_evidence_null=null_log_evidence(model),
-            dla=qmc_log_evidences(
-                model, dla_offsets, dla_log_nhi, dla_nhi, k_dla, max_dlas, params
-            ),
-            subdla=qmc_log_evidences(
-                model, sub_offsets, sub_log_nhi, sub_nhi, k_sub, 1, params
-            ),
-        )
+    return _evidences_fn(params, max_dlas, use_pallas)(
+        learned,
+        specs,
+        dla_offsets,
+        dla_log_nhi,
+        dla_nhi,
+        sub_offsets,
+        sub_log_nhi,
+        sub_nhi,
+        keys,
+    )
 
-    return jax.vmap(one)(specs, keys)
+
+@functools.lru_cache(maxsize=32)
+def _sharded_evidences(
+    mesh: Mesh, params: Parameters, max_dlas: int, use_pallas
+):
+    """Compile (and cache) the shard-mapped batch program for a mesh.
+
+    The batch (specs, keys) is split over the 'spectra' axis; the
+    learned model and QMC samples are replicated.  Each shard traces as
+    a single-device program, so per-shard ``pallas_call`` is legal.
+    """
+    fn = _evidences_fn(params, max_dlas, use_pallas)
+    mapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P("spectra"), P(), P(), P(), P(), P(), P(), P("spectra")),
+        out_specs=P("spectra"),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
 
 
 def _shard_batch(specs: Spectrum, keys, mesh: Mesh):
@@ -87,49 +162,44 @@ def batch_evidences(
     max_dlas: int = 4,
     mesh: Mesh | None = None,
     dtype=None,
+    use_pallas=None,
 ) -> EvidenceOutputs:
     """Evidences for a batch of spectra (leading axis), optionally
-    sharded over a device mesh."""
+    sharded over a device mesh.
+
+    :param use_pallas: static kernel selection threaded to
+        ops.logmvn.batched_log_mvnpdf (None = auto).
+    """
     if dtype is not None:
         from ..data.spectrum import astype
 
         specs = astype(specs, dtype)
         learned = learned.astype(dtype)
 
-    multi_device = mesh is not None and mesh.devices.size > 1
+    cast = (lambda x: jnp.asarray(x, dtype)) if dtype is not None else jnp.asarray
+    args = (
+        learned,
+        specs,
+        cast(dla_samples.offset_samples),
+        cast(dla_samples.log_nhi_samples),
+        cast(dla_samples.nhi_samples),
+        cast(subdla_samples.offset_samples),
+        cast(subdla_samples.log_nhi_samples),
+        cast(subdla_samples.nhi_samples),
+        keys,
+    )
+
+    if mesh is not None and mesh.devices.size > 1:
+        specs, keys = _shard_batch(specs, keys, mesh)
+        args = args[:1] + (specs,) + args[2:8] + (keys,)
+        return _sharded_evidences(mesh, params, max_dlas, use_pallas)(*args)
+
     if mesh is not None:
         specs, keys = _shard_batch(specs, keys, mesh)
-
-    cast = (lambda x: jnp.asarray(x, dtype)) if dtype is not None else jnp.asarray
-
-    import os
-
-    # the fused Pallas kernel is validated single-chip; under GSPMD
-    # partitioning fall back to the XLA composition (TODO round 2:
-    # shard_map + per-shard pallas_call)
-    prev = os.environ.get("GPY_DLA_USE_PALLAS")
-    if multi_device:
-        os.environ["GPY_DLA_USE_PALLAS"] = "0"
-    try:
-        return _batched_evidences(
-            learned,
-            specs,
-            cast(dla_samples.offset_samples),
-            cast(dla_samples.log_nhi_samples),
-            cast(dla_samples.nhi_samples),
-            cast(subdla_samples.offset_samples),
-            cast(subdla_samples.log_nhi_samples),
-            cast(subdla_samples.nhi_samples),
-            keys,
-            params,
-            max_dlas,
-        )
-    finally:
-        if multi_device:
-            if prev is None:
-                os.environ.pop("GPY_DLA_USE_PALLAS", None)
-            else:
-                os.environ["GPY_DLA_USE_PALLAS"] = prev
+        args = args[:1] + (specs,) + args[2:8] + (keys,)
+    return _batched_evidences(
+        *args, params=params, max_dlas=max_dlas, use_pallas=use_pallas
+    )
 
 
 def process_batch(
@@ -143,6 +213,7 @@ def process_batch(
     max_dlas: int = 4,
     mesh: Mesh | None = None,
     dtype=None,
+    use_pallas=None,
 ) -> list[SpectrumResult]:
     """Full model selection for a list of spectra; pads the batch to a
     multiple of the mesh size, drops the padding on output."""
@@ -163,6 +234,7 @@ def process_batch(
         max_dlas,
         mesh,
         dtype=dtype,
+        use_pallas=use_pallas,
     )
 
     null_ev = np.asarray(out.log_evidence_null)

@@ -43,11 +43,16 @@ def main(argv=None):
         help="override the QMC sample count (default: Parameters default)",
     )
     parser.add_argument(
+        "--checkpoint",
+        action="store_true",
+        help="persist every batch's results to a part file and resume "
+        "from existing parts on rerun",
+    )
+    parser.add_argument(
         "--checkpoint-every",
         type=int,
-        default=0,
-        help="write a partial catalog every N batches and resume from "
-        "existing parts (0 = off)",
+        default=None,
+        help=argparse.SUPPRESS,  # legacy alias: any N>0 behaves as --checkpoint
     )
     args = parser.parse_args(argv)
 
@@ -121,15 +126,18 @@ def main(argv=None):
     import os
     import pickle
 
+    checkpoint = args.checkpoint or bool(args.checkpoint_every)
+
     results = []
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
     for i in range(0, len(spectra), args.batch_size):
         key, sub = jax.random.split(key)
-        # step-granular checkpoint/resume: each batch's results persist
-        # to a part file; reruns skip completed batches
+        # step-granular checkpoint/resume: every batch's results persist
+        # to a part file; reruns skip completed batches (a crash reruns
+        # at most the in-flight batch)
         part_path = f"{args.output}.part{i:08d}.pkl"
-        if args.checkpoint_every and os.path.exists(part_path):
+        if checkpoint and os.path.exists(part_path):
             with open(part_path, "rb") as f:
                 results.extend(pickle.load(f))
             continue
@@ -146,7 +154,7 @@ def main(argv=None):
             mesh=mesh,
             dtype=dtype,
         )
-        if args.checkpoint_every and (i // args.batch_size) % args.checkpoint_every == 0:
+        if checkpoint:
             with open(part_path, "wb") as f:
                 pickle.dump(batch_results, f)
         results.extend(batch_results)

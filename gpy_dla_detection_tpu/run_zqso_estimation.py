@@ -39,7 +39,7 @@ def main(argv=None):
     t0 = time.time()
     for i, fname in enumerate(args.qso_list):
         wl, flux, nv, pm = read_spec(fname)
-        spec = prepare_z_spectrum(wl, flux, nv, pm)
+        spec = prepare_z_spectrum(wl, flux, nv, pm, params.num_pixels_padded)
         z_map, _, _ = inference_z_qso(
             learned, spec, params, args.z_min, args.z_max
         )

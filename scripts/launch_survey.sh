@@ -34,5 +34,5 @@ python -m gpy_dla_detection_tpu.run_bayes_select \
     --qso_list "${FILES[@]}" \
     --z_qso_list "${ZS[@]}" \
     --output "processed_qsos.shard$(printf '%04d' "$PID").h5" \
-    --checkpoint-every 10 \
+    --checkpoint \
     "${@:3}"
