@@ -156,6 +156,183 @@ def generate_ascii_catalog(
             )
 
 
+def generate_sub_dla_catalog(
+    model_posteriors,
+    z_qsos,
+    ids=None,
+    snrs=None,
+    sub_dla: int = 1,
+):
+    """Catalog of sub-DLA *candidates*: sightlines whose most probable
+    model is the sub-DLA model, with its posterior
+    (reference: qso_loader.py:2035-2094)."""
+    mp = np.asarray(model_posteriors)
+    z_qsos = np.asarray(z_qsos)
+    ids = ids if ids is not None else np.arange(mp.shape[0])
+    records = []
+    for i in np.where(np.argmax(mp, axis=1) == sub_dla)[0]:
+        rec = {
+            "id": str(ids[i]),
+            "p_sub_dla": float(mp[i, sub_dla]),
+            "z_qso": float(z_qsos[i]),
+        }
+        if snrs is not None:
+            rec["snr"] = float(np.asarray(snrs)[i])
+        records.append(rec)
+    return records
+
+
+def write_sub_dla_catalog(filename: str, *args, **kw) -> None:
+    with open(filename, "w") as f:
+        json.dump(generate_sub_dla_catalog(*args, **kw), f, indent=1)
+
+
+# ---------------------------------------------------------------------------
+# MATLAB v7.3 export (reference: sbatch_reunion.py:65-86 save2mat73)
+# ---------------------------------------------------------------------------
+_MATLAB_CLASS = {
+    "f8": b"double",
+    "f4": b"single",
+    "i8": b"int64",
+    "i4": b"int32",
+    "u1": b"uint8",
+    "b1": b"logical",
+}
+
+
+def write_mat73(filename: str, variables: dict) -> None:
+    """Write a MATLAB v7.3 (HDF5-based) .mat file.
+
+    The v7.3 container is plain HDF5 plus (a) a 512-byte userblock with
+    the MATLAB file signature and (b) a ``MATLAB_class`` attribute per
+    dataset.  Arrays are stored transposed (MATLAB is column-major).
+    Implemented directly on h5py — no hdf5storage dependency
+    (reference: sbatch_reunion.py:65-86 uses hdf5storage.write).
+    """
+    import h5py
+
+    with h5py.File(filename, "w", userblock_size=512) as f:
+        for name, value in variables.items():
+            arr = np.asarray(value)
+            if arr.dtype == bool:
+                data = arr.astype(np.uint8).T
+                mcls = b"logical"
+            elif arr.dtype.kind in "fiu":
+                data = arr.T
+                mcls = _MATLAB_CLASS.get(arr.dtype.str[1:], b"double")
+            else:  # strings and everything else go as double-encoded bytes
+                data = np.char.encode(arr.astype(str)).view(np.uint8).T
+                mcls = b"uint8"
+            # MATLAB represents scalars as 1x1 matrices
+            if data.ndim == 0:
+                data = data.reshape(1, 1)
+            elif data.ndim == 1:
+                data = data.reshape(1, -1)
+            ds = f.create_dataset(name, data=data)
+            ds.attrs["MATLAB_class"] = np.bytes_(mcls)
+            if mcls == b"logical":
+                ds.attrs["MATLAB_int_decode"] = np.int32(1)
+
+    # the MATLAB 7.3 header lives in the HDF5 userblock:
+    # 116 bytes of text + 8 reserved + version 0x0200 + endian "IM"
+    header = b"MATLAB 7.3 MAT-file, Platform: posix, Created by: gpy_dla_detection_tpu"
+    header = header[:116].ljust(116, b" ") + b" " * 8 + bytes([0x00, 0x02]) + b"IM"
+    with open(filename, "r+b") as f:
+        f.write(header)
+
+
+def save2mat73(filename: str, out_filename: str, small_file: bool = False) -> None:
+    """Convert a processed HDF5 catalog to MATLAB v7.3 format
+    (reference: sbatch_reunion.py:65-86).
+
+    :param small_file: drop the per-sample datasets (the bulk of the
+        file) for a portable summary catalog.
+    """
+    import h5py
+
+    variables = {}
+    with h5py.File(filename, "r") as f:
+        for key in f.keys():
+            if small_file and (
+                "sample_log_likelihoods" in key or "base_sample_inds" in key
+            ):
+                continue
+            variables[key] = f[key][()]
+    write_mat73(out_filename, variables)
+
+
+def occam_model_posteriors(model_posteriors, occams_razor: float = 10000.0):
+    """Re-normalize model posteriors with an extra occam's razor factor
+    against the absorber models (reference: qso_loader.py:134-173
+    _occams_model_posteriors)."""
+    mp = np.array(model_posteriors, np.float64)
+    mp[:, 1:] = mp[:, 1:] / occams_razor
+    return mp / mp.sum(axis=1, keepdims=True)
+
+
+def zwarning_occam_patch(
+    filename: str,
+    filter_flags,
+    out_filename: str,
+    occams_razor: float = 10000.0,
+    small_file: bool = False,
+    mat73: bool = False,
+):
+    """Post-fix a merged catalog: drop sightlines whose catalog
+    ``filter_flags`` are nonzero (the retro-fitted ZWARNING bit) and
+    apply the extra occam's razor to the absorber-model posteriors
+    (reference: sbatch_reunion.py:87-181 save2mat73_zpatch).
+
+    ``filter_flags`` is aligned with the catalog rows (one per processed
+    spectrum).  Writes either HDF5 (default) or MATLAB v7.3.
+    """
+    import h5py
+
+    filter_flags = np.ravel(np.asarray(filter_flags))
+    keep = filter_flags == 0
+
+    variables = {}
+    with h5py.File(filename, "r") as f:
+        n = f["p_dlas"].shape[0]
+        assert filter_flags.size == n, (filter_flags.size, n)
+        for key in f.keys():
+            if small_file and (
+                "sample_log_likelihoods" in key or "base_sample_inds" in key
+            ):
+                continue
+            data = f[key][()]
+            if isinstance(data, np.ndarray) and data.ndim >= 1 and data.shape[0] == n:
+                data = data[keep]
+                if occams_razor and occams_razor != 1:
+                    if key == "model_posteriors":
+                        data = occam_model_posteriors(data, occams_razor)
+                        variables["p_no_dlas"] = data[:, 0]
+                        variables["p_lls"] = data[:, 1]
+                        variables["p_dlas"] = np.clip(
+                            1.0 - data[:, 0] - data[:, 1], 0.0, 1.0
+                        )
+                    elif key in ("p_dlas", "p_lls", "p_no_dlas"):
+                        continue  # recomputed from the rescaled posteriors
+                    elif key in (
+                        "log_likelihoods_dla",
+                        "log_likelihoods_lls",
+                        "log_posteriors_dla",
+                        "log_posteriors_lls",
+                        "sample_log_likelihoods_dla",
+                        "sample_log_likelihoods_lls",
+                    ):
+                        data = data - np.log(occams_razor)
+            variables[key] = data
+
+    if mat73:
+        write_mat73(out_filename, variables)
+    else:
+        with h5py.File(out_filename, "w") as f:
+            for key, data in variables.items():
+                f.create_dataset(key, data=data)
+    return int(keep.sum())
+
+
 def roc_curve(p_dlas, truth):
     """ROC of the p_dla classifier against a boolean truth catalog.
 

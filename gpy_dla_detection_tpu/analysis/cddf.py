@@ -203,6 +203,11 @@ class ProcessedCatalog:
 
         self._log_norm_like_cache: dict = {}
 
+        # bootstrap resampling state (reference: calc_cddf.py:286-324):
+        # when set, an index array into the original catalog; all
+        # per-spectrum accessors read through it
+        self._resample: np.ndarray | None = None
+
     # ------------------------------------------------------------------
     @classmethod
     def from_file(cls, processed_file, sample_file=None, snrs_file=None, **kw):
@@ -245,25 +250,33 @@ class ProcessedCatalog:
         )
 
     # ------------------------------------------------------------------
+    # bootstrap view plumbing: vector accessors return the resampled
+    # view; per-spectrum accessors map view index -> original index
+    def _orig(self, spec):
+        return spec if self._resample is None else int(self._resample[spec])
+
+    def _view(self, arr):
+        return arr if self._resample is None else arr[self._resample]
+
     def z_min(self, spec=None):
-        return self._z_min if spec is None else self._z_min[spec]
+        return self._view(self._z_min) if spec is None else self._z_min[self._orig(spec)]
 
     def z_max(self, spec=None):
-        return self._z_max if spec is None else self._z_max[spec]
+        return self._view(self._z_max) if spec is None else self._z_max[self._orig(spec)]
 
     def proximity(self, zqso):
         return zqso - self.proximity_zone
 
     def _snr_mask(self):
         if self.snrs is None:
-            return np.ones_like(self._z_min, dtype=bool)
-        return self.snrs > self.snr_thresh
+            return np.ones_like(self.z_min(), dtype=bool)
+        return self._view(self.snrs) > self.snr_thresh
 
     def _p_dla_k(self, second):
         """P(at least 1 DLA) for second=0; P(exactly k+1 DLAs) else."""
         if not second:
-            return self.p_dla
-        return self.model_posteriors[:, int(second) + 1 + self.sub_dla]
+            return self._view(self.p_dla)
+        return self._view(self.model_posteriors)[:, int(second) + 1 + self.sub_dla]
 
     def filter_dla_spectra(self, second=0):
         """Spectra above the DLA-probability and SNR thresholds
@@ -275,6 +288,7 @@ class ProcessedCatalog:
     def log_norm_like(self, spec, second=0):
         """Per-sample normalized log likelihood of the DLA(second+1)
         model for one spectrum (reference: calc_cddf.py:407-476)."""
+        spec = self._orig(spec)
         key = (spec, second)
         if key not in self._log_norm_like_cache:
             ll = np.array(self.sample_log_likelihoods[spec, :, second])
@@ -287,8 +301,9 @@ class ProcessedCatalog:
     def sample_params(self, spec, second=0):
         """(log_nhi, z) of each sample for this spectrum; for k >= 2
         the chained sample's parameters (reference: calc_cddf.py:903-920)."""
-        redshifts = self.z_min(spec) + (
-            self.z_max(spec) - self.z_min(spec)
+        spec = self._orig(spec)
+        redshifts = self._z_min[spec] + (
+            self._z_max[spec] - self._z_min[spec]
         ) * self.z_offsets
         lnhi = self.lnhi_vals
         if second:
@@ -300,13 +315,14 @@ class ProcessedCatalog:
     def prob_dla_per_sample(self, spec, index, second=0):
         """P(DLA at the sampled parameters) for the selected samples
         (reference: calc_cddf.py:922-943)."""
+        orig = self._orig(spec)
         if not second:
             return (
-                np.exp(self.log_norm_like(spec, 0)[index]) * self.p_dla[spec]
+                np.exp(self.log_norm_like(spec, 0)[index]) * self.p_dla[orig]
             )
         total = np.zeros(np.size(index))
         for i in range(int(second) + 1):
-            p_k = self.model_posteriors[spec, i + 1 + self.sub_dla]
+            p_k = self.model_posteriors[orig, i + 1 + self.sub_dla]
             total += np.exp(self.log_norm_like(spec, second)[index]) * p_k
         return total
 
@@ -316,8 +332,8 @@ class ProcessedCatalog:
         (reference: calc_cddf.py:552-604)."""
         assert z_min < z_max
         ind = self._snr_mask()
-        max_z = self._z_max[ind].copy()
-        min_z = self._z_min[ind]
+        max_z = self._view(self._z_max)[ind].copy()
+        min_z = self._view(self._z_min)[ind]
         if self.lowzcut:
             max_z = np.maximum(np.minimum(max_z, self.proximity(max_z)), min_z)
         sel = (min_z < z_max) & (max_z > z_min)
@@ -337,7 +353,11 @@ class ProcessedCatalog:
 
         # noisy-pixel filtering: integrate only over contiguous
         # low-noise regions of each spectrum (reference: calc_cddf.py:605-657)
-        pn_all = [self.pixel_noise[i] for i in np.where(ind)[0]]
+        view_ids = (
+            self._resample if self._resample is not None
+            else np.arange(self._z_min.size)
+        )
+        pn_all = [self.pixel_noise[view_ids[i]] for i in np.where(ind)[0]]
         pn_all = [pn_all[i] for i in np.where(sel)[0]]
         no_filter = np.array(
             [np.all(np.asarray(pn) < self.noise_thresh) for pn in pn_all]
@@ -386,7 +406,7 @@ class ProcessedCatalog:
             if self.filter_noisy_pixels:
                 # exclude samples sitting on noisy pixels
                 # (reference: calc_cddf.py:1003-1008)
-                pn = np.asarray(self.pixel_noise[spec])
+                pn = np.asarray(self.pixel_noise[self._orig(spec)])
                 pind = np.clip(
                     (
                         (redshifts - self.z_min(spec))
@@ -650,3 +670,85 @@ class ProcessedCatalog:
         omega_err = conversion * np.sqrt(variance[ii]) / dX[ii]
         z_cent = 0.5 * (z_bins[:-1] + z_bins[1:])
         return z_cent[ii], omega, omega_err
+
+    # ------------------------------------------------------------------
+    # bootstrap sample errors (reference: calc_cddf.py:286-378)
+    def resample(self, do_it=True, nspec=0, rng=None, min_per_bin=10):
+        """Draw a new catalog of the same size with replacement,
+        stratified in ~10 quantile bins of z_max so the quasar redshift
+        distribution is roughly preserved (high-z quasars are rare and
+        a plain bootstrap could lose them entirely)
+        (reference: calc_cddf.py:286-324).
+
+        ``resample(False)`` restores the original catalog.
+        """
+        if not do_it:
+            self._resample = None
+            return
+        rng = np.random.default_rng(rng) if not isinstance(
+            rng, np.random.Generator
+        ) else rng
+        Q = self._z_max.size
+        if nspec == 0:
+            nspec = Q
+        # quantile bin edges on z_max; merge bins thinner than min_per_bin
+        n_bins = min(10, max(Q // max(min_per_bin, 1), 1))
+        edges = np.quantile(self._z_max, np.linspace(0.0, 1.0, n_bins + 1))
+        edges[0], edges[-1] = -np.inf, np.inf
+        self._resample = None  # draw from the original catalog
+        draws = []
+        for lo, hi in zip(edges[:-1], edges[1:]):
+            ii = np.where((self._z_max > lo) & (self._z_max <= hi))[0]
+            if ii.size == 0:
+                continue
+            n_here = int(round(ii.size / Q * nspec))
+            draws.append(ii[rng.integers(0, ii.size, n_here)])
+        inds = np.concatenate(draws) if draws else np.array([], int)
+        # rounding can leave the sample short/long: top up / trim
+        if inds.size < nspec:
+            extra = rng.integers(0, Q, nspec - inds.size)
+            inds = np.concatenate([inds, extra])
+        self._resample = inds[:nspec]
+
+    def get_sample_errors(self, z_min=2.0, z_max=5.0, nsample=5, rng=None):
+        """Bootstrap percentiles of dN/dX and Omega_DLA over ``nsample``
+        resamplings (reference: calc_cddf.py:325-344).
+
+        :return: dict with keys dndx_sample, dndx_68, dndx_95,
+            omega_sample (x1000), omega_68, omega_95.
+        """
+        rng = np.random.default_rng(rng)
+        dndx_sample, om_sample = [], []
+        try:
+            for _ in range(nsample):
+                self.resample(True, rng=rng)
+                _, dNdX, _, _, _ = self.line_density(z_min=z_min, z_max=z_max)
+                _, omega, _, _, _ = self.omega_dla_cddf(
+                    z_min=z_min, z_max=z_max, lnhi_nbins=15
+                )
+                om_sample.append(1000 * omega)
+                dndx_sample.append(dNdX)
+        finally:
+            self.resample(False)
+        dndx_sample = np.array(dndx_sample)
+        om_sample = np.array(om_sample)
+        return {
+            "dndx_sample": np.median(dndx_sample, axis=0),
+            "dndx_68": np.array(
+                [np.percentile(dndx_sample, 84, axis=0),
+                 np.percentile(dndx_sample, 16, axis=0)]
+            ),
+            "dndx_95": np.array(
+                [np.percentile(dndx_sample, 97.5, axis=0),
+                 np.percentile(dndx_sample, 2.5, axis=0)]
+            ),
+            "omega_sample": np.median(om_sample, axis=0),
+            "omega_68": np.array(
+                [np.percentile(om_sample, 84, axis=0),
+                 np.percentile(om_sample, 16, axis=0)]
+            ),
+            "omega_95": np.array(
+                [np.percentile(om_sample, 97.5, axis=0),
+                 np.percentile(om_sample, 2.5, axis=0)]
+            ),
+        }

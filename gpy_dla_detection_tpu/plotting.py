@@ -238,3 +238,267 @@ def plot_omega_dla(z_cent, omega, omega_err, label="GP", ax=None):
     ax.set_xlabel("z")
     ax.set_ylabel(r"$10^3 \times \Omega_\mathrm{DLA}$")
     return ax
+
+
+# ---------------------------------------------------------------------------
+# comparison figures (reference: qso_loader.py:618-968,
+# make_multi_dla_plots.py, make_plots.py)
+# ---------------------------------------------------------------------------
+def plot_roc(fpr, tpr, auc=None, label="GP", ax=None):
+    """ROC curve of the p_dla classifier against a truth catalog
+    (reference: qso_loader.py:618-718 make_ROC)."""
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots()
+    lbl = f"{label} (AUC={auc:.3f})" if auc is not None else label
+    ax.plot(fpr, tpr, label=lbl)
+    ax.plot([0, 1], [0, 1], ls=":", color="k", lw=0.5)
+    ax.set_xlabel("false positive rate")
+    ax.set_ylabel("true positive rate")
+    ax.legend()
+    return ax
+
+
+def plot_confusion(confusion, ax=None, normalize=False):
+    """Multi-DLA confusion matrix heatmap with annotated counts
+    (reference: qso_loader.py:878-968 make_multi_confusion)."""
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots()
+    conf = np.asarray(confusion, np.float64)
+    shown = conf / conf.sum(axis=1, keepdims=True).clip(min=1) if normalize else conf
+    im = ax.imshow(shown, cmap="Blues")
+    plt.colorbar(im, ax=ax)
+    for i in range(conf.shape[0]):
+        for j in range(conf.shape[1]):
+            val = f"{shown[i, j]:.2f}" if normalize else f"{int(conf[i, j])}"
+            ax.text(j, i, val, ha="center", va="center", fontsize=8)
+    ax.set_xlabel("MAP number of DLAs")
+    ax.set_ylabel("true number of DLAs")
+    return ax
+
+
+def plot_annotated_spectrum(
+    model: SpectrumModel,
+    params: Parameters,
+    map_z_dlas=None,
+    map_log_nhis=None,
+    truth_dlas: dict | None = None,
+    label: str = "GP MAP model",
+    ax=None,
+):
+    """Spectrum with the absorbed GP mean and per-catalog absorber tick
+    marks — the reference's plot_this_mu overlay
+    (reference: qso_loader.py:1654-1823).
+
+    :param map_z_dlas, map_log_nhis: (k,) MAP absorbers applied to the
+        mean.
+    :param truth_dlas: {catalog name: [(z_dla, log_nhi), ...]} — each
+        catalog's absorbers are marked with labelled vertical lines.
+    """
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots(figsize=(14, 5))
+    mask = np.asarray(model.mask)
+    z_qso = float(model.z_qso)
+    wavelengths = np.asarray(model.padded_wavelengths)[3:-3]
+    rest = (wavelengths / (1 + z_qso))[mask]
+
+    ax.plot(rest, np.asarray(model.y)[mask], lw=0.4, color="C0", label="observed")
+
+    mu = np.asarray(model.mu)
+    if map_z_dlas is not None and np.size(map_z_dlas):
+        z_dlas = np.ravel(np.asarray(map_z_dlas))
+        log_nhis = np.ravel(np.asarray(map_log_nhis))
+        finite = np.isfinite(z_dlas)
+        absorption = np.prod(
+            np.asarray(
+                voigt_absorption(
+                    model.padded_wavelengths,
+                    10.0 ** log_nhis[finite],
+                    z_dlas[finite],
+                    params.num_lines,
+                )
+            ),
+            axis=0,
+        )
+        mu = mu * absorption
+    ax.plot(rest, mu[mask], lw=1.0, color="C3", label=label)
+
+    # absorber tick marks: rest-frame Lya position of each absorber
+    colors = ["C2", "C4", "C5", "C6"]
+    ymax = float(np.nanmax(np.asarray(model.y)[mask]))
+    for c, (name, absorbers) in enumerate(
+        (truth_dlas or {}).items()
+    ):
+        for j, (z_dla, log_nhi) in enumerate(absorbers):
+            x = LYA_WAVELENGTH_A * (1 + z_dla) / (1 + z_qso)
+            ax.axvline(x, ls="--", color=colors[c % len(colors)], lw=0.8)
+            ax.text(
+                x,
+                ymax * (0.95 - 0.08 * c),
+                f"{name}: logNHI={log_nhi:.2f}" if j == 0 else f"{log_nhi:.2f}",
+                color=colors[c % len(colors)],
+                fontsize=7,
+                rotation=90,
+                va="top",
+            )
+    ax.axvline(LYA_WAVELENGTH_A, ls=":", color="k", lw=0.5)
+    ax.set_xlabel(r"rest wavelength [$\AA$]")
+    ax.set_ylabel("normalized flux")
+    ax.legend(loc="upper right")
+    return ax
+
+
+def plot_cddf_external(l_cent, cddf, xerrs, label="Parks", ax=None, moment=False):
+    """Point-estimate CDDF of an external catalog, for overplotting
+    against the GP CDDF (reference: qso_loader.py:1192-1282)."""
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots()
+    y = cddf * 10.0**l_cent if moment else cddf
+    ii = y > 0
+    ax.errorbar(
+        10.0 ** l_cent[ii], y[ii], xerr=(xerrs[0][ii], xerrs[1][ii]), fmt="s",
+        label=label, alpha=0.8,
+    )
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.set_xlabel(r"$N_\mathrm{HI}$ (cm$^{-2}$)")
+    ax.set_ylabel(r"$f(N_\mathrm{HI})$")
+    return ax
+
+
+def plot_line_density_external(z_cent, dNdX, xerrs, label="Parks", ax=None):
+    """Point-estimate dN/dX of an external catalog
+    (reference: qso_loader.py:1283-1356)."""
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots()
+    ax.errorbar(z_cent, dNdX, xerr=xerrs, fmt="s", label=label, alpha=0.8)
+    ax.set_xlabel("z")
+    ax.set_ylabel("dN/dX")
+    return ax
+
+
+# ---------------------------------------------------------------------------
+# split / bootstrap figures (reference: make_plots.py:1-310,
+# make_multi_dla_plots.py, calc_cddf.py:345-378)
+# ---------------------------------------------------------------------------
+def plot_cddf_by_z(catalog, z_edges=(2.0, 2.5, 3.0, 4.0, 5.0), ax=None, **kw):
+    """CDDF in redshift slices (reference: make_plots.py per-z panels)."""
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots()
+    for z_lo, z_hi in zip(z_edges[:-1], z_edges[1:]):
+        l_cent, cddf, cddf68, cddf95, xerrs = catalog.column_density_function(
+            z_min=z_lo, z_max=z_hi, **kw
+        )
+        ii = cddf > 0
+        ax.errorbar(
+            10.0 ** l_cent[ii],
+            cddf[ii],
+            yerr=(
+                (cddf - cddf68[:, 0])[ii],
+                np.maximum(cddf68[:, 1] - cddf, 0)[ii],
+            ),
+            fmt="o",
+            ms=3,
+            label=f"{z_lo} < z < {z_hi}",
+        )
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.set_xlabel(r"$N_\mathrm{HI}$ (cm$^{-2}$)")
+    ax.set_ylabel(r"$f(N_\mathrm{HI})$")
+    ax.legend()
+    return ax
+
+
+def plot_cddf_by_snr(catalog, snr_threshs=(-2.0, 2.0, 4.0), ax=None, **kw):
+    """CDDF under successive SNR cuts
+    (reference: make_plots.py snr-split panels)."""
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots()
+    prev = catalog.snr_thresh
+    try:
+        for thresh in snr_threshs:
+            catalog.snr_thresh = thresh
+            l_cent, cddf, _, _, _ = catalog.column_density_function(**kw)
+            ii = cddf > 0
+            ax.errorbar(
+                10.0 ** l_cent[ii], cddf[ii], fmt="o-", ms=3, lw=0.5,
+                label=f"SNR > {thresh}",
+            )
+    finally:
+        catalog.snr_thresh = prev
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.set_xlabel(r"$N_\mathrm{HI}$ (cm$^{-2}$)")
+    ax.set_ylabel(r"$f(N_\mathrm{HI})$")
+    ax.legend()
+    return ax
+
+
+def plot_dndx_sample_errors(catalog, z_min=2.0, z_max=5.0, nsample=5, rng=0, ax=None):
+    """dN/dX with bootstrap-resampled error bands
+    (reference: calc_cddf.py:345-360)."""
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots()
+    errs = catalog.get_sample_errors(z_min=z_min, z_max=z_max, nsample=nsample, rng=rng)
+    z_cent, dNdX, dndx68, _, xerrs = catalog.line_density(z_min=z_min, z_max=z_max)
+    ax.errorbar(
+        z_cent, dNdX, yerr=(dNdX - dndx68[:, 0], dndx68[:, 1] - dNdX),
+        xerr=xerrs, fmt="o", label="Total",
+    )
+    med = errs["dndx_sample"]
+    ax.errorbar(
+        z_cent,
+        med,
+        yerr=(
+            np.maximum(med - errs["dndx_68"][1], 0),
+            np.maximum(errs["dndx_68"][0] - med, 0),
+        ),
+        xerr=xerrs,
+        fmt="s",
+        label="Resampled",
+    )
+    ax.set_xlabel("z")
+    ax.set_ylabel("dN/dX")
+    ax.legend()
+    return ax
+
+
+def plot_omega_sample_errors(catalog, z_min=2.0, z_max=5.0, nsample=5, rng=0, ax=None):
+    """Omega_DLA with bootstrap-resampled error bands
+    (reference: calc_cddf.py:361-378)."""
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots()
+    errs = catalog.get_sample_errors(z_min=z_min, z_max=z_max, nsample=nsample, rng=rng)
+    z_cent, omega, omega68, _, xerrs = catalog.omega_dla_cddf(z_min=z_min, z_max=z_max)
+    ax.errorbar(
+        z_cent,
+        1000 * omega,
+        yerr=(1000 * (omega - omega68[:, 0]), 1000 * (omega68[:, 1] - omega)),
+        xerr=xerrs,
+        fmt="o",
+        label="Total",
+    )
+    med = errs["omega_sample"]
+    ax.errorbar(
+        z_cent,
+        med,
+        yerr=(
+            np.maximum(med - errs["omega_68"][1], 0),
+            np.maximum(errs["omega_68"][0] - med, 0),
+        ),
+        xerr=xerrs,
+        fmt="s",
+        label="Resampled",
+    )
+    ax.set_xlabel("z")
+    ax.set_ylabel(r"$10^3 \times \Omega_\mathrm{DLA}$")
+    ax.legend()
+    return ax

@@ -100,6 +100,81 @@ def test_batch_pallas_on_mesh_matches_unsharded(setup):
         np.testing.assert_allclose(a.p_dla, b.p_dla, atol=2e-3)
 
 
+def test_sharded_samples_axis_matches_unsharded(setup):
+    """(spectra x samples) 2-D sharding: the categorical resampling and
+    parameter gathers over a *sharded sample axis* (the risky
+    collectives) must reproduce the unsharded result exactly — the
+    resampling indices are PRNG-determined, so the chained levels match
+    bit-for-bit up to reduction order (VERDICT r1 item 6)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from gpy_dla_detection_tpu.data.spectrum import stack
+    from gpy_dla_detection_tpu.models.evidence import (
+        null_log_evidence,
+        qmc_log_evidences,
+    )
+    from gpy_dla_detection_tpu.models.learned import build_spectrum_model
+
+    params, learned, prior, dla_s, sub_s, spectra = setup
+    B = 2
+    specs = stack(spectra[:B])
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+
+    def run(specs, keys, d_off, d_lognhi, d_nhi, learned_dev):
+        @jax.jit
+        def step(learned, specs, d_off, d_lognhi, d_nhi, keys):
+            def one(spec, key):
+                model = build_spectrum_model(learned, spec, params)
+                dla = qmc_log_evidences(
+                    model, d_off, d_lognhi, d_nhi, key, MAX_DLAS, params
+                )
+                return null_log_evidence(model), dla.log_evidences, dla.base_sample_inds
+
+            return jax.vmap(one)(specs, keys)
+
+        return step(learned_dev, specs, d_off, d_lognhi, d_nhi, keys)
+
+    # unsharded
+    plain = run(
+        specs,
+        keys,
+        jnp.asarray(dla_s.offset_samples),
+        jnp.asarray(dla_s.log_nhi_samples),
+        jnp.asarray(dla_s.nhi_samples),
+        learned,
+    )
+
+    # 2x4 (spectra, samples) mesh
+    devices = np.asarray(jax.devices("cpu")).reshape(2, 4)
+    mesh = Mesh(devices, ("spectra", "samples"))
+    spec_sh = NamedSharding(mesh, P("spectra"))
+    samp_sh = NamedSharding(mesh, P("samples"))
+    repl = NamedSharding(mesh, P())
+    specs_d = jax.tree.map(lambda x: jax.device_put(x, spec_sh), specs)
+    keys_d = jax.device_put(keys, spec_sh)
+    learned_d = jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(np.asarray(x)), repl), learned
+    )
+    sharded = run(
+        specs_d,
+        keys_d,
+        jax.device_put(jnp.asarray(dla_s.offset_samples), samp_sh),
+        jax.device_put(jnp.asarray(dla_s.log_nhi_samples), samp_sh),
+        jax.device_put(jnp.asarray(dla_s.nhi_samples), samp_sh),
+        learned_d,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(plain[0]), np.asarray(sharded[0]), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain[1]), np.asarray(sharded[1]), rtol=1e-8
+    )
+    # identical PRNG keys -> identical resampled index chains
+    np.testing.assert_array_equal(np.asarray(plain[2]), np.asarray(sharded[2]))
+
+
 def test_injected_dla_detected(setup):
     params, learned, prior, dla_s, sub_s, spectra = setup
     results = process_batch(

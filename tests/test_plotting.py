@@ -72,3 +72,46 @@ def test_all_plots_render(tmp_path):
     band = np.stack([dndx * 0.7, dndx * 1.3], axis=1)
     ax = plotting.plot_line_density(z_cent, dndx, band, band, (z_cent * 0, z_cent * 0))
     ax = plotting.plot_omega_dla(z_cent, dndx * 1e-2, dndx * 1e-3)
+
+    # comparison figures (round 2)
+    from gpy_dla_detection_tpu.analysis.catalog_tools import roc_curve
+
+    p = np.array([0.9, 0.2, 0.8, 0.1, 0.7])
+    truth = np.array([1, 0, 1, 0, 0], bool)
+    fpr, tpr, _, auc = roc_curve(p, truth)
+    ax = plotting.plot_roc(fpr, tpr, auc)
+    ax = plotting.plot_confusion(np.array([[5, 1], [2, 7]]))
+    ax = plotting.plot_confusion(np.array([[5, 1], [2, 7]]), normalize=True)
+
+    ax = plotting.plot_annotated_spectrum(
+        model,
+        params,
+        map_z_dlas=np.asarray(result.map_z_dlas)[0, :1],
+        map_log_nhis=np.asarray(result.map_log_nhis)[0, :1],
+        truth_dlas={
+            "concordance": [(2.7, 21.0)],
+            "parks": [(2.69, 20.9), (2.9, 20.4)],
+        },
+    )
+    ax.figure.savefig(str(tmp_path / "annotated.png"), dpi=40)
+
+    ax = plotting.plot_cddf_external(l_cent, cddf, (cddf * 0, cddf * 0))
+    ax = plotting.plot_cddf_external(l_cent, cddf, (cddf * 0, cddf * 0), moment=True)
+    ax = plotting.plot_line_density_external(z_cent, dndx, (z_cent * 0, z_cent * 0))
+
+
+def test_split_and_bootstrap_plots_render(tmp_path):
+    from gpy_dla_detection_tpu import plotting
+
+    from .test_cddf import _toy_catalog
+
+    cat, *_ = _toy_catalog(num_spec=30, S=150, seed=7)
+    cat.snrs = np.full(30, 5.0)
+    ax = plotting.plot_cddf_by_z(cat, z_edges=(2.0, 2.8, 3.5), lnhi_nbins=6)
+    ax.figure.savefig(str(tmp_path / "cddf_z.png"), dpi=40)
+    ax = plotting.plot_cddf_by_snr(
+        cat, snr_threshs=(-2.0, 2.0), z_min=2.0, z_max=3.5, lnhi_nbins=6
+    )
+    ax = plotting.plot_dndx_sample_errors(cat, z_min=2.0, z_max=3.5, nsample=3)
+    ax.figure.savefig(str(tmp_path / "dndx_errs.png"), dpi=40)
+    ax = plotting.plot_omega_sample_errors(cat, z_min=2.0, z_max=3.5, nsample=3)
