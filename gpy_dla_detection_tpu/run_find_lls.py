@@ -29,6 +29,17 @@ def main(argv=None):
     parser.add_argument("--max-log-nhi", type=float, default=23.0)
     parser.add_argument("--min-lambda", type=float, default=850.0)
     parser.add_argument("--boss-meanflux", action="store_true", default=True)
+    parser.add_argument(
+        "--prior",
+        choices=["garnett", "uniform"],
+        default="garnett",
+        help="logNHI sample prior: data-driven Garnett fit (reference "
+        "default) or flat",
+    )
+    parser.add_argument("--catalog-file", default=None, help="catalog.mat for "
+                        "data-driven model priors")
+    parser.add_argument("--los-catalog", default=None)
+    parser.add_argument("--dla-catalog", default=None)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -65,8 +76,16 @@ def main(argv=None):
         learned = with_boss_meanflux(learned)
 
     samples = generate_lya_samples(
-        args.num_samples, args.min_log_nhi, args.max_log_nhi
+        args.num_samples, args.min_log_nhi, args.max_log_nhi, prior=args.prior
     )
+
+    prior_catalog = None
+    if args.catalog_file:
+        from .data.catalog import PriorCatalog
+
+        prior_catalog = PriorCatalog.from_mat(
+            params, args.catalog_file, args.los_catalog, args.dla_catalog
+        )
 
     key = jax.random.PRNGKey(args.seed)
     rows = []
@@ -78,9 +97,15 @@ def main(argv=None):
         null_ev, result = lls_log_evidences(
             learned, spec, samples, sub, args.max_lya, params
         )
-        post = lls_model_posteriors(
-            float(null_ev), np.asarray(result.log_evidences)
-        )
+        if prior_catalog is not None:
+            m, n = prior_catalog.less_ind(z_qso)
+            post = lls_model_posteriors(
+                float(null_ev), np.asarray(result.log_evidences), m, n
+            )
+        else:
+            post = lls_model_posteriors(
+                float(null_ev), np.asarray(result.log_evidences)
+            )
         rows.append(
             dict(
                 null_ev=float(null_ev),

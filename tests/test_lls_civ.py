@@ -69,6 +69,201 @@ def test_lls_uses_break_profile():
     np.testing.assert_allclose(post.sum(), 1.0, rtol=1e-10)
 
 
+def test_lya_pdf_matches_reference_formula():
+    """Our analytic data-driven logNHI prior equals the reference's
+    quad-normalized flat-below-20.03 Garnett density
+    (reference: gp_find_lls.py:325-351 LyaSamples._build_pdf)."""
+    from scipy.integrate import quad
+
+    from gpy_dla_detection_tpu.models.lls import lya_log_nhi_pdf
+
+    un = lambda x: np.exp(-1.2695 * x**2 + 50.863 * x - 509.33)
+    unnorm = lambda x: un(x) * (x >= 20.03) + un(20.03) * (x < 20.03)
+    Z = quad(unnorm, 17.2, 23.0)[0]
+    xs = np.linspace(17.3, 22.9, 25)
+    np.testing.assert_allclose(
+        lya_log_nhi_pdf(xs), [unnorm(x) / Z for x in xs], rtol=1e-7
+    )
+    # normalizes to 1 on the support
+    grid = np.linspace(17.2, 23.0, 20001)
+    np.testing.assert_allclose(
+        np.trapezoid(lya_log_nhi_pdf(grid), grid), 1.0, rtol=1e-6
+    )
+
+
+def test_lya_samples_follow_data_driven_prior():
+    from gpy_dla_detection_tpu.models.lls import (
+        generate_lya_samples,
+        lya_log_nhi_pdf,
+    )
+
+    s = generate_lya_samples(20000, prior="garnett")
+    assert s.log_nhi_samples.min() >= 17.2
+    assert s.log_nhi_samples.max() <= 23.0
+    # histogram matches the analytic pdf
+    hist, edges = np.histogram(
+        s.log_nhi_samples, bins=24, range=(17.2, 23.0), density=True
+    )
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    want = lya_log_nhi_pdf(centers)
+    np.testing.assert_allclose(hist, want, rtol=0.05, atol=5e-3)
+    # the flat region is flat (it sits at the Garnett fit's peak value);
+    # the density decays fast above the 20.03 peak
+    flat = hist[centers < 19.8]
+    np.testing.assert_allclose(flat, flat.mean(), rtol=0.05)
+    assert hist[np.argmin(np.abs(centers - 21.6))] < 0.15 * flat.mean()
+
+
+def test_lls_evidences_match_reference():
+    """Oracle conformance: our LLS engine (break profile + QMC + the
+    data-driven prior samples) vs the reference DLAGP engine configured
+    exactly as LLSGPDR12 — the reference voigt_lls kernel inside the
+    reference's sequential QMC loop (gp_find_lls.py:102-224), with the
+    reference's resampling indices forced into our engine."""
+    from gpy_dla_detection_tpu.models.lls import generate_lya_samples
+
+    from .reference_oracle import import_reference
+
+    import_reference()
+    from gpy_dla_detection import voigt_lls
+    from gpy_dla_detection.dla_gp import DLAGP as RefDLAGP
+    from gpy_dla_detection.set_parameters import Parameters as RefParameters
+
+    from .test_pipeline_conformance import _StubDLASamples, _StubPrior
+
+    class RefLLSGP(RefDLAGP):
+        """The LLSGPDR12 configuration (gp_find_lls.py:160-224): the
+        DLAGP QMC engine with the Lyman-limit-break Voigt kernel."""
+
+        def this_dla_gp(self, z_lls, nhis):
+            mask_ind = ~self.pixel_mask[self.ind_unmasked]
+            wavelengths = (
+                self.padded_wavelengths
+                if self.broadening
+                else self.unmasked_wavelengths
+            )
+            absorption = voigt_lls.voigt_absorption(
+                wavelengths,
+                nhi=nhis[0],
+                z_lls=z_lls[0],
+                num_lines=self.params.num_lines,
+                broadening=self.broadening,
+            )
+            for j in range(1, len(z_lls)):
+                absorption = absorption * voigt_lls.voigt_absorption(
+                    wavelengths,
+                    nhi=nhis[j],
+                    z_lls=z_lls[j],
+                    num_lines=self.params.num_lines,
+                    broadening=self.broadening,
+                )
+            absorption = absorption[mask_ind]
+            return (
+                self.this_mu * absorption,
+                self.this_M * absorption[:, None],
+                self.this_omega2 * absorption**2,
+            )
+
+    NUM, MAX_LYA, Z_QSO = 80, 2, 3.1
+    params = Parameters(
+        num_dla_samples=NUM, min_lambda=850.0, num_pixels_padded=1664
+    )
+    learned = synthetic_learned_model(params)
+    samples = generate_lya_samples(NUM, prior="garnett")
+    wl, fx, nv, pm = synthetic_observation(params, learned, Z_QSO, seed=11)
+
+    ref_params = RefParameters(
+        num_dla_samples=NUM, min_lambda=850.0
+    )
+    ref = RefLLSGP(
+        ref_params,
+        _StubPrior(),
+        _StubDLASamples(samples, params),
+        rest_wavelengths=learned.rest_wavelengths,
+        mu=learned.mu,
+        M=learned.M,
+        log_omega=learned.log_omega,
+        log_c_0=float(learned.log_c_0),
+        log_tau_0=float(learned.log_tau_0),
+        log_beta=float(learned.log_beta),
+        prev_tau_0=float(learned.prev_tau_0),
+        prev_beta=float(learned.prev_beta),
+    )
+    np.random.seed(0)
+    ref.set_data(
+        (wl / (1.0 + Z_QSO)).copy(), fx.copy(), nv.copy(), pm.copy(), Z_QSO
+    )
+    ref_null = ref.log_model_evidence()
+    ref_evs = ref.log_model_evidences(MAX_LYA)
+
+    spec = preprocess(wl, fx, nv, pm, Z_QSO, params)
+    null_ev, result = lls_log_evidences(
+        learned.astype(np.float64),
+        spec,
+        samples,
+        jax.random.PRNGKey(0),
+        MAX_LYA,
+        params,
+        base_inds_override=ref.base_sample_inds,
+    )
+    np.testing.assert_allclose(float(null_ev), ref_null, rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(result.log_evidences), ref_evs, rtol=1e-7, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.sample_log_likelihoods),
+        ref.sample_log_likelihoods,
+        rtol=1e-6,
+        atol=1e-4,
+    )
+    ref_map_z, ref_map_nhi = ref.maximum_a_posteriori()
+    np.testing.assert_allclose(np.asarray(result.map_z_dlas), ref_map_z, rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(result.map_log_nhis), ref_map_nhi, rtol=1e-10
+    )
+
+
+def test_lls_posteriors_with_catalog_priors():
+    """Catalog-count posteriors follow the reference combination
+    (gp_find_lls.py:757-767): softmax(evidence + prior) with the DLA
+    P(k | z_qso) priors."""
+    from scipy.special import logsumexp
+
+    from gpy_dla_detection_tpu.models.selection import log_priors_k_dlas
+
+    null_ev, evs = -100.0, np.array([-95.0, -101.0])
+    m, n = 500, 5000
+    post = lls_model_posteriors(null_ev, evs, num_dlas=m, num_quasars=n)
+    lp = log_priors_k_dlas(m, n, 2)
+    log_posts = np.concatenate(
+        [[null_ev + np.log1p(-np.exp(logsumexp(lp)))], evs + lp]
+    )
+    want = np.exp(log_posts - logsumexp(log_posts))
+    np.testing.assert_allclose(post, want / want.sum(), rtol=1e-10)
+    # evidence gap e^5 beats the ~10:1 prior odds against an absorber
+    assert post.argmax() == 1
+
+
+def test_fumagalli_table_loader(tmp_path):
+    """Whitespace table parser matches the reference loader's contract
+    (reference: tests/test_selection_fumagalli.py:4-43)."""
+    from gpy_dla_detection_tpu.models.lls import load_fumagalli_table
+
+    path = tmp_path / "table_data_full.txt"
+    header = "# header line\n" * 15
+    rows = (
+        "J0001+0001 10.5 -1.2 3.61 5.2 1 0 1 3.55\n"
+        "J0002+0002 11.0 0.4 3.80 8.0 1 1 0 -1.0\n"
+    )
+    path.write_text(header + rows)
+    t = load_fumagalli_table(str(path))
+    assert t.quasar_name.tolist() == ["J0001+0001", "J0002+0002"]
+    np.testing.assert_allclose(t.redshift, [3.61, 3.80])
+    np.testing.assert_allclose(t.LLS_redshift, [3.55, -1.0])
+    assert t.classification_outcome.tolist() == [1, 0]
+    assert t.in_training_set.tolist() == [0, 1]
+
+
 def test_boss_meanflux_swap():
     params = Parameters()
     learned = synthetic_learned_model(params)
