@@ -28,3 +28,11 @@ jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 def cpu_devices():
     return jax.devices("cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "realdata: published-catalog acceptance tests; need the .mat "
+        "artifacts and SDSS spectra (see tests/test_realdata.py)",
+    )
