@@ -40,7 +40,7 @@ def main():
 
     params = Parameters()  # full scale: 10k samples, 1280-pixel window
     max_dlas = 4
-    batch = 16
+    batch = 32
     dtype = jnp.float32
 
     learned = synthetic_learned_model(params)

@@ -32,6 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.interp import chunked_searchsorted
 from ..ops.logmvn import batched_log_mvnpdf, log_mvnpdf_low_rank, pair_basis
 from ..ops.voigt import voigt_absorption, voigt_absorption_lls
 from ..params import Parameters
@@ -131,24 +132,23 @@ def qmc_log_evidences(
                 # if the previous level underflowed entirely, keep indices
                 # in-range with uniform logits (results are NaN-masked)
                 logits = jnp.where(alive, logits, jnp.zeros_like(logits))
-                base = jax.random.categorical(keys[k0 - 1], logits, shape=(S,))
+                # inverse-CDF categorical draw: S draws from S categories.
+                # (jax.random.categorical lowers to an S x S gumbel
+                # argmax — 38 ms/level at S=10k; jnp.searchsorted lowers
+                # to a serialized binary-search gather chain — 43 ms/
+                # level.  The chunked count is ~1000x cheaper.)
+                probs = jnp.exp(logits - jnp.max(logits))
+                cdf = jnp.cumsum(probs)
+                u = jax.random.uniform(keys[k0 - 1], (S,), dtype) * cdf[-1]
+                base = jnp.minimum(chunked_searchsorted(cdf, u), S - 1)
             base_inds_rows.append(base)
-            # recompute the gathered absorbers' profiles from their
-            # (z, nhi) parameters: a fresh Voigt pass is ~250x cheaper
-            # on TPU than the (S, N) random row gather A[base]
-            z_g = z_samples[base]
-            nhi_g = nhi_samples[base]
-            cum_extra = cum_extra * PROFILES[profile](
-                model.padded_wavelengths,
-                nhi_g,
-                z_g,
-                params.num_lines,
-                impl=voigt_impl,
-            )
-            z_rows.append(z_g)
+            # chain the resampled absorber by gathering its precomputed
+            # profile row: the (S, N) gather measures ~8 ms vs ~35 ms
+            # for a fresh Voigt pass (profiler-verified; round 1 had
+            # this backwards from broken microbenchmarks)
+            cum_extra = cum_extra * jnp.take(A, base, axis=0)
+            z_rows.append(z_samples[base])
             lognhi_rows.append(log_nhi_samples[base])
-
-        absorption = A * cum_extra if k0 > 0 else A
 
         ll = (
             batched_log_mvnpdf(
@@ -158,9 +158,10 @@ def qmc_log_evidences(
                 model.omega2,
                 model.v,
                 model.mask,
-                absorption,
+                A,
                 M_pair,
                 use_pallas=use_pallas,
+                extra=cum_extra if k0 > 0 else None,
             )
             - log_S
         )

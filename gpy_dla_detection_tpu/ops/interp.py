@@ -32,6 +32,36 @@ def interp_uniform(x0, dx, values, xq):
     return lo * (1.0 - frac) + hi * frac
 
 
+def chunked_searchsorted(sorted_values, queries, chunk: int = 128):
+    """``searchsorted(sorted_values, queries, side="right")`` as a
+    two-level vectorized count.
+
+    ``jnp.searchsorted`` lowers to a serialized binary-search gather
+    chain on TPU (measured 43 ms for 10k queries into a 10k table —
+    dominating whole pipeline stages); this compares each query against
+    the 128-aligned chunk maxima, gathers ONE chunk per query from the
+    tiny (n_chunks, 128) table, and counts within.  O(n/128 + 128)
+    comparisons per query, all VPU-friendly.
+
+    :param sorted_values: (n,) ascending.
+    :param queries: (...,) arbitrary shape.
+    :return: (...,) int32 insertion indices in [0, n].
+    """
+    n = sorted_values.shape[0]
+    nc = -(-n // chunk)
+    padded = jnp.pad(
+        sorted_values, (0, nc * chunk - n), constant_values=jnp.inf
+    ).reshape(nc, chunk)
+    tops = padded[:, -1]  # (nc,)
+    q = queries[..., None]
+    c_idx = jnp.clip(
+        jnp.sum(q >= tops, axis=-1).astype(jnp.int32), 0, nc - 1
+    )
+    rows = padded[c_idx]  # (..., chunk) gather from the tiny table
+    within = jnp.sum(q >= rows, axis=-1).astype(jnp.int32)
+    return jnp.minimum(c_idx * chunk + within, n)
+
+
 def interp(xg, values, xq):
     """Linear interpolation on an arbitrary ascending grid ``xg``."""
     n = xg.shape[0]

@@ -22,12 +22,16 @@ import jax.numpy as jnp
 # TPU — ~30% faster end to end than the XLA composition (PERFORMANCE.md)
 DEFAULT_USE_PALLAS: bool = os.environ.get("GPY_DLA_USE_PALLAS", "1") == "1"
 
-# Voigt evaluation strategy: "exact" (full Weideman+CF blend, default),
-# "windowed" (static-chunk windowed correction) or "pallas" — the last
-# two lost end to end on v5e and stay opt-in (PERFORMANCE.md)
+# Voigt evaluation strategy: "windowed" (CF everywhere + exact Weideman
+# on a chunk-aligned 256-px window per line center; default — ~10%
+# faster end to end once the chained levels gather instead of
+# recomputing), "exact" (full Weideman+CF blend at every pixel,
+# GPY_DLA_FAST_VOIGT=0; agrees with windowed to ~1e-4 relative in log
+# evidence) or "pallas" (fused kernel; lost on v5e, kept opt-in).
+# See PERFORMANCE.md.
 if os.environ.get("GPY_DLA_PALLAS_VOIGT", "0") == "1":
     DEFAULT_VOIGT_IMPL: str = "pallas"
-elif os.environ.get("GPY_DLA_FAST_VOIGT", "0") == "1":
+elif os.environ.get("GPY_DLA_FAST_VOIGT", "1") == "1":
     DEFAULT_VOIGT_IMPL = "windowed"
 else:
     DEFAULT_VOIGT_IMPL = "exact"

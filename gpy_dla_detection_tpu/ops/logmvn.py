@@ -127,7 +127,8 @@ def batched_quad_logdet(B, u):
 
 
 def batched_log_mvnpdf(
-    y, mu, M, omega2, v, mask, absorption, M_pair=None, use_pallas=None
+    y, mu, M, omega2, v, mask, absorption, M_pair=None, use_pallas=None,
+    extra=None,
 ):
     """log N(y; mu * a_s, (M a_s)(M a_s)^T + diag(omega2 a_s^2 + v)) for a
     batch of absorption profiles ``a_s``.
@@ -141,22 +142,27 @@ def batched_log_mvnpdf(
         TPU/f32, XLA composition otherwise), True = force the Pallas
         kernel (interpret mode off-TPU — tests), False = force the XLA
         composition.
+    :param extra: optional second (S, N) absorption factor; the
+        effective profile is ``absorption * extra``, multiplied inside
+        the kernel (saves an HBM round trip of the product).
     :return: (S,) log densities.
     """
     k = M.shape[-1]
     if M_pair is None:
         M_pair = pair_basis(M)
 
-    # Fused Pallas kernel: ~30% faster end to end than the XLA-fused
-    # composition below at identical accuracy (HIGHEST-precision dots);
-    # see ops/logmvn_pallas.py.
+    # Fused Pallas kernel: everything from noise assembly through the
+    # k x k Cholesky runs VMEM-resident; see ops/logmvn_pallas.py.
     if resolve_use_pallas(use_pallas, y):
         from .logmvn_pallas import batched_log_mvnpdf_pallas
 
         return batched_log_mvnpdf_pallas(
             y, mu, M, omega2, v, mask, absorption, M_pair, k,
-            interpret=not on_tpu(y),
+            interpret=not on_tpu(y), extra=extra,
         )
+
+    if extra is not None:
+        absorption = absorption * extra
 
     a = jnp.where(mask, absorption, 1.0)
     d = omega2 * a * a + v

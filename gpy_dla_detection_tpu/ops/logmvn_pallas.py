@@ -1,14 +1,13 @@
 """Pallas TPU kernel: fused batched low-rank MVN log-density.
 
-The (S, N)-heavy portion of the masked Woodbury chain — noise assembly,
-capacitance matmul (MXU), projection of the whitened residual, data-
-space quadratic form and log determinant — runs as one kernel that
-reads each absorption block from HBM exactly once and emits only the
-small per-sample quantities (B (S, k^2), u (S, k), quad0, logdet0).
-The k x k factorize-and-solve then runs as the unrolled rank-1 update
-loop in jnp (it is tiny).  The jnp composition in ops/logmvn.py
-round-trips ~6 (S, N) temporaries through HBM; this path touches HBM
-O(S*N) once.
+The whole per-sample likelihood runs as one kernel that reads each
+absorption block from HBM exactly once and emits a single scalar per
+sample: noise assembly, capacitance matmul (MXU), projection of the
+whitened residual, data-space quadratic form and log determinant, AND
+the k x k Cholesky factorization with the forward substitution fused in
+(unrolled rank-1 updates on the VMEM-resident capacitance block — XLA
+refuses to fuse this chain and round-trips the (S, k, k) tensor through
+HBM twenty times, measured at 35% of the whole pipeline).
 
 Used automatically by ``batched_log_mvnpdf`` on TPU for float32 inputs;
 the jnp path remains the reference implementation (and the CPU/f64
@@ -24,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .logmvn import LOG_2PI, batched_quad_logdet
+from .logmvn import LOG_2PI
 
 # sample-block size: multiple of the f32 sublane tile (8).  Keep the
 # per-block live set (absorption block + ~6 elementwise temporaries +
@@ -33,104 +32,151 @@ from .logmvn import LOG_2PI, batched_quad_logdet
 BLOCK_S = 128
 
 
-def _kernel(y_ref, mu_ref, omega2_ref, v_ref, mask_ref, M_ref, Mp_ref, a_ref,
-            B_ref, u_ref, scal_ref):
-    mask = mask_ref[:]  # (1, N) f32 0/1
-    y = y_ref[:]
-    mu = mu_ref[:]
-    omega2 = omega2_ref[:]
-    v = v_ref[:]
-    a_raw = a_ref[:]  # (BS, N)
+def _make_kernel(k: int, has_extra: bool):
+    def _kernel(y_ref, mu_ref, omega2_ref, v_ref, mask_ref, M_ref, Mp_ref,
+                a_ref, *rest):
+        if has_extra:
+            extra_ref, ll_ref = rest
+        else:
+            (ll_ref,) = rest
+        mask = mask_ref[:]  # (1, N) f32 0/1
+        y = y_ref[:]
+        mu = mu_ref[:]
+        omega2 = omega2_ref[:]
+        v = v_ref[:]
+        a_raw = a_ref[:]  # (BS, N)
+        if has_extra:
+            # second absorption factor (the chained-absorber product)
+            # multiplied in VMEM — saves materializing A * cum_extra in
+            # HBM per level (measured ~19 ms per level at S=10k, B=16)
+            a_raw = a_raw * extra_ref[:]
 
-    a = jnp.where(mask > 0, a_raw, 1.0)
-    d = omega2 * a * a + v
-    d_safe = jnp.where(mask > 0, d, 1.0)
-    d_inv = mask / d_safe
-    delta = jnp.where(mask > 0, y - mu * a, 0.0)
+        a = jnp.where(mask > 0, a_raw, 1.0)
+        d = omega2 * a * a + v
+        d_safe = jnp.where(mask > 0, d, 1.0)
+        d_inv = mask / d_safe
+        delta = jnp.where(mask > 0, y - mu * a, 0.0)
 
-    w = a * a * d_inv  # (BS, N)
-    r = a * delta * d_inv
+        w = a * a * d_inv  # (BS, N)
+        r = a * delta * d_inv
 
-    B_ref[:] = jnp.dot(
-        w,
-        Mp_ref[:],
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    u_ref[:] = jnp.dot(
-        r,
-        M_ref[:],
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+        B = jnp.dot(
+            w,
+            Mp_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (BS, k*k)
+        u = jnp.dot(
+            r,
+            M_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (BS, k)
 
-    quad0 = jnp.sum(delta * delta * d_inv, axis=1, keepdims=True)
-    logdet0 = jnp.sum(
-        jnp.where(mask > 0, jnp.log(d_safe), 0.0), axis=1, keepdims=True
-    )
-    scal_ref[:, 0:1] = quad0
-    scal_ref[:, 1:2] = logdet0
+        quad0 = jnp.sum(delta * delta * d_inv, axis=1, keepdims=True)  # (BS, 1)
+        logdet0 = jnp.sum(
+            jnp.where(mask > 0, jnp.log(d_safe), 0.0), axis=1, keepdims=True
+        )
+
+        # Capacitance A = I + M^T D^-1 M kept FLAT as (BS, k*k) — Mosaic
+        # rejects the (BS, k, k) shape cast.  A is symmetric and stays
+        # symmetric under every rank-1 update, so "column j" is read as
+        # the contiguous lane block of row j.  The flattened outer
+        # product col col^T is built with two constant-pattern matmuls
+        # rep = col @ R (R[i, p] = [p//k == i]) and tile = col @ T
+        # (T[i, p] = [p%k == i]); the patterns come from iota because
+        # pallas kernels cannot capture array constants.
+        p_idx = jax.lax.broadcasted_iota(jnp.int32, (k, k * k), 1)
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (k, k * k), 0)
+        R = (p_idx // k == i_idx).astype(jnp.float32)  # (k, k*k)
+        T = (p_idx % k == i_idx).astype(jnp.float32)
+        eye_flat = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) // k
+            == jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) % k
+        ).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+        A = B + eye_flat  # (BS, k*k)
+        quad = jnp.zeros_like(quad0)
+        logdet = jnp.zeros_like(logdet0)
+        for j in range(k):
+            base = j * k
+            dj = A[:, base + j : base + j + 1]  # (BS, 1)
+            logdet = logdet + jnp.log(dj)
+            inv_sqrt = jax.lax.rsqrt(dj)
+            lower = (lane >= j).astype(jnp.float32)  # (1, k)
+            col = A[:, base : base + k] * inv_sqrt * lower  # (BS, k)
+            tj = u[:, j : j + 1] * inv_sqrt  # (BS, 1)
+            quad = quad + tj * tj
+            u = u - tj * col
+            if j < k - 1:
+                rep = jnp.dot(col, R, preferred_element_type=jnp.float32)
+                tile = jnp.dot(col, T, preferred_element_type=jnp.float32)
+                A = A - rep * tile
+
+        n = jnp.sum(mask)
+        ll_ref[:] = -0.5 * (quad0 - quad + logdet0 + logdet + n * LOG_2PI)
+
+    return _kernel
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def batched_log_mvnpdf_pallas(
-    y, mu, M, omega2, v, mask, absorption, M_pair, k: int, interpret: bool = False
+    y, mu, M, omega2, v, mask, absorption, M_pair, k: int,
+    interpret: bool = False, extra=None,
 ):
     """Fused TPU evaluation of the batched masked Woodbury log-density.
 
     Same contract as ops/logmvn.batched_log_mvnpdf (f32; ``interpret``
     runs the kernel through the Pallas interpreter so correctness tests
-    can exercise it on the virtual CPU mesh).
+    can exercise it on the virtual CPU mesh).  ``extra`` is an optional
+    second (S, N) absorption factor multiplied in VMEM.
     """
     S, N = absorption.shape
     n_blocks = -(-S // BLOCK_S)
     S_pad = n_blocks * BLOCK_S
     if S_pad != S:
-        absorption = jnp.concatenate(
-            [absorption, jnp.ones((S_pad - S, N), absorption.dtype)], axis=0
+        pad = lambda x: jnp.concatenate(
+            [x, jnp.ones((S_pad - S, N), x.dtype)], axis=0
         )
+        absorption = pad(absorption)
+        if extra is not None:
+            extra = pad(extra)
 
     mask_f = mask.astype(jnp.float32)[None, :]
     row = lambda x: x.astype(jnp.float32)[None, :]
 
-    B, u, scal = pl.pallas_call(
-        _kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),  # y
-            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),  # mu
-            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),  # omega2
-            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),  # v
-            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),  # mask
-            pl.BlockSpec((N, k), lambda i: (0, 0), memory_space=pltpu.VMEM),  # M
-            pl.BlockSpec((N, k * k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_S, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((BLOCK_S, k * k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_S, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_S, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((S_pad, k * k), jnp.float32),
-            jax.ShapeDtypeStruct((S_pad, k), jnp.float32),
-            jax.ShapeDtypeStruct((S_pad, 2), jnp.float32),
-        ),
-        interpret=interpret,
-    )(
-        row(y),
-        row(mu),
-        row(omega2),
-        row(v),
-        mask_f,
-        M.astype(jnp.float32),
-        M_pair.astype(jnp.float32),
-        absorption,
+    row_spec = pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    blk_spec = pl.BlockSpec(
+        (BLOCK_S, N), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    in_specs = [
+        row_spec,  # y
+        row_spec,  # mu
+        row_spec,  # omega2
+        row_spec,  # v
+        row_spec,  # mask
+        pl.BlockSpec((N, k), lambda i: (0, 0), memory_space=pltpu.VMEM),  # M
+        pl.BlockSpec((N, k * k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        blk_spec,  # absorption
+    ]
+    args = [
+        row(y), row(mu), row(omega2), row(v), mask_f,
+        M.astype(jnp.float32), M_pair.astype(jnp.float32), absorption,
+    ]
+    if extra is not None:
+        in_specs.append(blk_spec)
+        args.append(extra)
 
-    B = B[:S].reshape(S, k, k) + jnp.eye(k, dtype=jnp.float32)
-    corr, logdet_B = batched_quad_logdet(B, u[:S])
-    quad0 = scal[:S, 0]
-    logdet0 = scal[:S, 1]
-    n = jnp.sum(mask)
-    return -0.5 * (quad0 - corr + logdet0 + logdet_B + n * LOG_2PI)
+    (ll,) = pl.pallas_call(
+        _make_kernel(k, extra is not None),
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((BLOCK_S, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((S_pad, 1), jnp.float32),),
+        interpret=interpret,
+    )(*args)
+
+    return ll[:S, 0]

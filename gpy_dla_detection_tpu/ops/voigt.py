@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from .. import constants as C
 from .faddeeva import RADIUS, _wofz_cf, _wofz_weideman, wofz_parts
+from .interp import chunked_searchsorted
 from .kernel_config import resolve_voigt_impl
 
 SQRT_2PI = 2.5066282746310002
@@ -82,31 +83,39 @@ def _lyman_series_optical_depth_windowed(
     (Weideman) evaluation on a 256-pixel window around each line center
     -- the only pixels whose |z| can fall inside the rational
     approximation's disk (the core spans ~+-2 pixels at SDSS
-    resolution).
+    resolution, so a chunk-aligned 2x128-pixel window always covers it).
 
-    Windows are aligned to 128-pixel chunks, so each row's window start
-    takes one of only ~P/128 static values: the per-row window
-    gather/scatter becomes a short static loop of masked slice updates
-    -- no XLA scatter (pathologically slow on TPU) and no dynamic
-    indexing at all.
+    The window placement is a *dense chunk broadcast*: with the pixel
+    axis viewed as (n_chunks, 128) and window starts aligned to chunk
+    boundaries, each row's correction lands in chunks (c0, c0+1), so
+
+        tau += (c0 == j) * corr[:128] + (c0 + 1 == j) * corr[128:]
+
+    broadcast over the chunk index j builds the full correction in one
+    fused elementwise expression -- no XLA scatter (pathological on
+    TPU), no per-row dynamic slices (Mosaic 128-alignment + row-loop
+    serialization), and no masked .at[].add chain (round-trips the full
+    tau through HBM per candidate start; measured 14.2 vs 18.7
+    spectra/s end to end in round 1).
     """
     dtype = wavelengths.dtype
     S = z_absorber.shape[0]
     P = wavelengths.shape[0]
     W = FAST_WINDOW
+    CH = CHUNK
     inv = 1.0 / (jnp.sqrt(jnp.asarray(2.0, dtype)) * sigma)
     c_over = jnp.asarray(C.SPEED_OF_LIGHT_CGS, dtype)
 
     one_plus_z = (1.0 + z_absorber)[:, None]  # (S, 1)
     tau = jnp.zeros((S, P), dtype)
 
-    max_start = max(((P - W) // CHUNK) * CHUNK, 0)
-    end_start = max(P - W, 0)
-    candidate_starts = list(range(0, max_start + 1, CHUNK))
-    if end_start > max_start:
-        # end-aligned window so line centers in the last partial chunk
-        # stay covered
-        candidate_starts.append(end_start)
+    # pad the pixel axis to whole chunks; padded entries are sliced off
+    # after placement, so their values never matter
+    nc = -(-P // CH)
+    P_pad = nc * CH
+    wl_pad = jnp.pad(wavelengths, (0, P_pad - P), mode="edge")
+    wl_chunks = wl_pad.reshape(nc, CH)
+    j_idx = jnp.arange(nc, dtype=jnp.int32)
 
     for l in range(num_lines):
         lam_l = jnp.asarray(C.LYMAN_WAVELENGTHS_A[l], dtype)
@@ -125,20 +134,18 @@ def _lyman_series_optical_depth_windowed(
         outer_all = ax_all * ax_all + y_l * y_l > RADIUS * RADIUS
         tau = tau + amp * jnp.where(outer_all, cf_re, 0.0)
 
-        # aligned window start per row (the center sits >= 64 px inside
-        # its window; the 3000 km/s z cut keeps centers away from edges)
-        center = jnp.searchsorted(wavelengths, lam_c[:, 0]).astype(jnp.int32)
-        start = jnp.clip(
-            ((center - CHUNK // 2) // CHUNK) * CHUNK, 0, max_start
-        )  # (S,)
-        # centers past the last aligned window use the end-aligned one
-        start = jnp.where(center - start > W - CHUNK // 2, end_start, start)
+        # chunk-aligned window start per row: the center sits >= 64 px
+        # inside its 256-px window, far beyond the ~±2 px disk
+        # (chunked count, NOT jnp.searchsorted — the binary-search chain
+        # measured 511 ms/batch, 4x the window math it was placing)
+        center = chunked_searchsorted(wavelengths, lam_c[:, 0])
+        c0 = jnp.clip((center - CH // 2) // CH, 0, nc - 2)  # (S,)
 
-        # assemble each row's window wavelengths by static-chunk blending
-        wl_win = jnp.zeros((S, W), dtype)
-        for s0 in candidate_starts:
-            sel = (start == s0)[:, None]
-            wl_win = jnp.where(sel, wavelengths[s0 : s0 + W][None, :], wl_win)
+        # per-row window wavelengths: gather two chunks from the tiny
+        # (nc, 128) table (cheap — nothing like an (S, P) row gather)
+        wl_win = jnp.concatenate(
+            [wl_chunks[c0], wl_chunks[c0 + 1]], axis=1
+        )  # (S, W)
 
         x_win = (wl_win - lam_c) * (c_over / lam_c) * inv
         ax = jnp.abs(x_win)
@@ -148,10 +155,14 @@ def _lyman_series_optical_depth_windowed(
         )
         corr = amp * jnp.where(inner, wei_win, 0.0)  # (S, W)
 
-        # masked static-slice updates instead of a scatter
-        for s0 in candidate_starts:
-            sel = (start == s0)[:, None]
-            tau = tau.at[:, s0 : s0 + W].add(jnp.where(sel, corr, 0.0))
+        # dense placement over the chunk axis
+        sel0 = (c0[:, None] == j_idx[None, :]).astype(dtype)  # (S, nc)
+        sel1 = (c0[:, None] + 1 == j_idx[None, :]).astype(dtype)
+        place = (
+            sel0[:, :, None] * corr[:, None, :CH]
+            + sel1[:, :, None] * corr[:, None, CH:]
+        )  # (S, nc, CH)
+        tau = tau + place.reshape(S, P_pad)[:, :P]
 
     return nhi[:, None] * tau
 

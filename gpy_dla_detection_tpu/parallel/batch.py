@@ -48,7 +48,7 @@ def make_spectra_mesh(devices=None) -> Mesh:
     return Mesh(devices, ("spectra",))
 
 
-def _evidences_fn(params: Parameters, max_dlas: int, use_pallas):
+def _evidences_fn(params: Parameters, max_dlas: int, use_pallas, voigt_impl=None):
     """The vmapped per-batch evidence computation (pure function of the
     array arguments; `params`/`max_dlas`/`use_pallas` are static)."""
 
@@ -77,6 +77,7 @@ def _evidences_fn(params: Parameters, max_dlas: int, use_pallas):
                     max_dlas,
                     params,
                     use_pallas=use_pallas,
+                    voigt_impl=voigt_impl,
                 ),
                 subdla=qmc_log_evidences(
                     model,
@@ -87,6 +88,7 @@ def _evidences_fn(params: Parameters, max_dlas: int, use_pallas):
                     1,
                     params,
                     use_pallas=use_pallas,
+                    voigt_impl=voigt_impl,
                 ),
             )
 
@@ -95,7 +97,7 @@ def _evidences_fn(params: Parameters, max_dlas: int, use_pallas):
     return batched
 
 
-@partial(jax.jit, static_argnames=("params", "max_dlas", "use_pallas"))
+@partial(jax.jit, static_argnames=("params", "max_dlas", "use_pallas", "voigt_impl"))
 def _batched_evidences(
     learned: LearnedModel,
     specs: Spectrum,
@@ -109,8 +111,9 @@ def _batched_evidences(
     params: Parameters,
     max_dlas: int,
     use_pallas=None,
+    voigt_impl=None,
 ) -> EvidenceOutputs:
-    return _evidences_fn(params, max_dlas, use_pallas)(
+    return _evidences_fn(params, max_dlas, use_pallas, voigt_impl)(
         learned,
         specs,
         dla_offsets,
@@ -125,7 +128,7 @@ def _batched_evidences(
 
 @functools.lru_cache(maxsize=32)
 def _sharded_evidences(
-    mesh: Mesh, params: Parameters, max_dlas: int, use_pallas
+    mesh: Mesh, params: Parameters, max_dlas: int, use_pallas, voigt_impl=None
 ):
     """Compile (and cache) the shard-mapped batch program for a mesh.
 
@@ -133,7 +136,7 @@ def _sharded_evidences(
     learned model and QMC samples are replicated.  Each shard traces as
     a single-device program, so per-shard ``pallas_call`` is legal.
     """
-    fn = _evidences_fn(params, max_dlas, use_pallas)
+    fn = _evidences_fn(params, max_dlas, use_pallas, voigt_impl)
     mapped = jax.shard_map(
         fn,
         mesh=mesh,
@@ -163,12 +166,13 @@ def batch_evidences(
     mesh: Mesh | None = None,
     dtype=None,
     use_pallas=None,
+    voigt_impl=None,
 ) -> EvidenceOutputs:
     """Evidences for a batch of spectra (leading axis), optionally
     sharded over a device mesh.
 
-    :param use_pallas: static kernel selection threaded to
-        ops.logmvn.batched_log_mvnpdf (None = auto).
+    :param use_pallas, voigt_impl: static kernel selection threaded to
+        ops.logmvn / ops.voigt (None = auto).
     """
     if dtype is not None:
         from ..data.spectrum import astype
@@ -192,13 +196,17 @@ def batch_evidences(
     if mesh is not None and mesh.devices.size > 1:
         specs, keys = _shard_batch(specs, keys, mesh)
         args = args[:1] + (specs,) + args[2:8] + (keys,)
-        return _sharded_evidences(mesh, params, max_dlas, use_pallas)(*args)
+        return _sharded_evidences(mesh, params, max_dlas, use_pallas, voigt_impl)(*args)
 
     if mesh is not None:
         specs, keys = _shard_batch(specs, keys, mesh)
         args = args[:1] + (specs,) + args[2:8] + (keys,)
     return _batched_evidences(
-        *args, params=params, max_dlas=max_dlas, use_pallas=use_pallas
+        *args,
+        params=params,
+        max_dlas=max_dlas,
+        use_pallas=use_pallas,
+        voigt_impl=voigt_impl,
     )
 
 
@@ -214,6 +222,7 @@ def process_batch(
     mesh: Mesh | None = None,
     dtype=None,
     use_pallas=None,
+    voigt_impl=None,
 ) -> list[SpectrumResult]:
     """Full model selection for a list of spectra; pads the batch to a
     multiple of the mesh size, drops the padding on output."""
@@ -235,6 +244,7 @@ def process_batch(
         mesh,
         dtype=dtype,
         use_pallas=use_pallas,
+        voigt_impl=voigt_impl,
     )
 
     null_ev = np.asarray(out.log_evidence_null)
