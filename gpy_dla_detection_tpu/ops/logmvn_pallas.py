@@ -82,14 +82,34 @@ def _make_kernel(k: int, has_extra: bool):
         # rejects the (BS, k, k) shape cast.  A is symmetric and stays
         # symmetric under every rank-1 update, so "column j" is read as
         # the contiguous lane block of row j.  The flattened outer
-        # product col col^T is built with two constant-pattern matmuls
-        # rep = col @ R (R[i, p] = [p//k == i]) and tile = col @ T
-        # (T[i, p] = [p%k == i]); the patterns come from iota because
-        # pallas kernels cannot capture array constants.
+        # product col col^T = rep * tile with tile[p] = col[p % k]
+        # (pltpu.repeat, exact, no MXU) and rep[p] = col[p // k] via the
+        # 0/1 selection matmul rep = col @ R, R[i, p] = [p//k == i].
+        # The selection matmul must be EXACT: a bf16 DEFAULT pass loses
+        # ~1e-2 in the rank-1 updates — enough to drive Cholesky
+        # diagonals negative (NaN evidences on the CIV model's
+        # ill-conditioned capacitances).  Since R is 0/1 (bf16-exact),
+        # splitting col into three bf16-exact parts and summing three
+        # DEFAULT dots reproduces col exactly at half the passes of
+        # Precision.HIGHEST.  (Pure-VPU formulations lose more: a full
+        # rep/tile broadcast-concat spills the VMEM stack at BS=128 and
+        # runs at 64% of this at BS=64; 20-lane block concats shuffle
+        # across lanes and run at 77%.)
         p_idx = jax.lax.broadcasted_iota(jnp.int32, (k, k * k), 1)
         i_idx = jax.lax.broadcasted_iota(jnp.int32, (k, k * k), 0)
         R = (p_idx // k == i_idx).astype(jnp.float32)  # (k, k*k)
-        T = (p_idx % k == i_idx).astype(jnp.float32)
+
+        def exact_selection_dot(x):
+            # HIGHEST is load-bearing: a bf16 DEFAULT pass loses ~1e-2
+            # in the rank-1 updates — enough to drive Cholesky
+            # diagonals negative (NaN evidences on the CIV model's
+            # ill-conditioned capacitances)
+            return jnp.dot(
+                x, R,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
         eye_flat = (
             jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) // k
             == jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) % k
@@ -110,8 +130,8 @@ def _make_kernel(k: int, has_extra: bool):
             quad = quad + tj * tj
             u = u - tj * col
             if j < k - 1:
-                rep = jnp.dot(col, R, preferred_element_type=jnp.float32)
-                tile = jnp.dot(col, T, preferred_element_type=jnp.float32)
+                rep = exact_selection_dot(col)  # (BS, k*k)
+                tile = pltpu.repeat(col, k, axis=1)
                 A = A - rep * tile
 
         n = jnp.sum(mask)

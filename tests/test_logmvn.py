@@ -80,3 +80,36 @@ def test_batched_log_mvnpdf_matches_single():
             )
         )
         np.testing.assert_allclose(got[s], ref, rtol=1e-9)
+
+
+def test_batched_pallas_kernel_small_rank():
+    """The fused kernel must handle ranks other than 20 (the CIV model
+    uses its own rank) and ill-conditioned capacitances.  On real TPUs
+    this regression additionally guards the MXU precision of the
+    rank-1-update selection matmuls: at bf16 DEFAULT precision the
+    Cholesky diagonals go negative and the evidences come out NaN
+    (found on the CIV model; ops/logmvn_pallas.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpy_dla_detection_tpu.ops.logmvn import batched_log_mvnpdf
+
+    rng = np.random.default_rng(3)
+    N, k, S = 700, 5, 64
+    M = (0.05 * np.sin(np.arange(N)[:, None] / 40.0 + np.arange(k))).astype(
+        np.float32
+    )
+    args = [
+        (1 + 0.01 * rng.normal(size=N)).astype(np.float32),  # y
+        np.ones(N, np.float32),  # mu
+        M,
+        np.zeros(N, np.float32),  # omega2 = 0 (the CIV configuration)
+        np.full(N, 0.03**2, np.float32),  # v small -> large capacitance
+        np.ones(N, bool),
+    ]
+    absorption = np.exp(-rng.random((S, N))).astype(np.float32)
+    args = [jnp.asarray(x) for x in args]
+    a = np.asarray(batched_log_mvnpdf(*args, jnp.asarray(absorption), use_pallas=False))
+    b = np.asarray(batched_log_mvnpdf(*args, jnp.asarray(absorption), use_pallas=True))
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, atol=5e-3 * np.mean(np.abs(a)))
