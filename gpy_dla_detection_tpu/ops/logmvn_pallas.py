@@ -84,32 +84,20 @@ def _make_kernel(k: int, has_extra: bool):
         # the contiguous lane block of row j.  The flattened outer
         # product col col^T = rep * tile with tile[p] = col[p % k]
         # (pltpu.repeat, exact, no MXU) and rep[p] = col[p // k] via the
-        # 0/1 selection matmul rep = col @ R, R[i, p] = [p//k == i].
-        # The selection matmul must be EXACT: a bf16 DEFAULT pass loses
-        # ~1e-2 in the rank-1 updates — enough to drive Cholesky
-        # diagonals negative (NaN evidences on the CIV model's
-        # ill-conditioned capacitances).  Since R is 0/1 (bf16-exact),
-        # splitting col into three bf16-exact parts and summing three
-        # DEFAULT dots reproduces col exactly at half the passes of
-        # Precision.HIGHEST.  (Pure-VPU formulations lose more: a full
-        # rep/tile broadcast-concat spills the VMEM stack at BS=128 and
-        # runs at 64% of this at BS=64; 20-lane block concats shuffle
-        # across lanes and run at 77%.)
+        # 0/1 selection matmul rep = col @ R, R[i, p] = [p//k == i], at
+        # Precision.HIGHEST.  HIGHEST is load-bearing: a bf16 DEFAULT
+        # pass loses ~1e-2 in the rank-1 updates — enough to drive
+        # Cholesky diagonals negative (NaN evidences on the CIV model's
+        # ill-conditioned rank-5 capacitances).  Measured alternatives
+        # (all exact, all slower or VMEM-unsafe): 3-way bf16 split with
+        # DEFAULT dots 45.5/s but ~300 KB from the 16 MB VMEM stack
+        # limit; stacked single split-dot OOMs at BS=128; pure-VPU
+        # broadcast/concat formulations 34-36/s (20-lane tiles waste
+        # 84% of the VPU and concats shuffle across lanes);
+        # left-looking bordered Cholesky 41/s (serial (BS, k) chain).
         p_idx = jax.lax.broadcasted_iota(jnp.int32, (k, k * k), 1)
         i_idx = jax.lax.broadcasted_iota(jnp.int32, (k, k * k), 0)
         R = (p_idx // k == i_idx).astype(jnp.float32)  # (k, k*k)
-
-        def exact_selection_dot(x):
-            # HIGHEST is load-bearing: a bf16 DEFAULT pass loses ~1e-2
-            # in the rank-1 updates — enough to drive Cholesky
-            # diagonals negative (NaN evidences on the CIV model's
-            # ill-conditioned capacitances)
-            return jnp.dot(
-                x, R,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-
         eye_flat = (
             jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) // k
             == jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) % k
@@ -130,7 +118,11 @@ def _make_kernel(k: int, has_extra: bool):
             quad = quad + tj * tj
             u = u - tj * col
             if j < k - 1:
-                rep = exact_selection_dot(col)  # (BS, k*k)
+                rep = jnp.dot(
+                    col, R,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
                 tile = pltpu.repeat(col, k, axis=1)
                 A = A - rep * tile
 
