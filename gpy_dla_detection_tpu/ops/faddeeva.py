@@ -95,18 +95,24 @@ def _wofz_weideman(x, y):
     return w_re, w_im
 
 
-def _wofz_cf(x, y):
+def _wofz_cf(x, y, terms: int | None = None):
     """Truncated continued fraction for w(x + iy), accurate for |z| > ~6.
 
     Guarded against division blow-ups so that evaluating it *inside* the
     |z| < RADIUS disk yields garbage-but-finite values (the windowed
     Voigt path relies on exact cancellation of those values).
+
+    :param terms: override the dtype-tiered truncation depth (the
+        windowed Voigt path uses K=2 in the far wings — relative error
+        1.6e-7 at |z|=20, 1e-8 at |z|=32, below f32 rounding — and the
+        full K on the near annulus).
     """
-    terms = (
-        N_CONTINUED_FRACTION_F32
-        if x.dtype == jnp.float32
-        else N_CONTINUED_FRACTION
-    )
+    if terms is None:
+        terms = (
+            N_CONTINUED_FRACTION_F32
+            if x.dtype == jnp.float32
+            else N_CONTINUED_FRACTION
+        )
     eps = jnp.asarray(1e-30, x.dtype)
     # v = z - a_n / v, innermost first, with a_n = n / 2
     vr = x

@@ -35,6 +35,10 @@ SQRT_2PI = 2.5066282746310002
 WINDOW_HALF_WIDTH = 16
 CHUNK = 128  # window alignment
 FAST_WINDOW = 256  # two aligned chunks per window
+# beyond this |z| the K=2 continued fraction is below f32 rounding
+# (rel err ~1e-8 at 32); the 7 < |z| <= 32 annulus spans ~±6 px — well
+# inside the window, where the full-K correction is applied
+CF_FAR_RADIUS = 32.0
 
 
 def instrumental_broadening(raw):
@@ -125,14 +129,16 @@ def _lyman_series_optical_depth_windowed(
         lam_c = lam_l * one_plus_z  # line center, observed frame (S, 1)
         y_l = gam_l * inv
 
-        # cheap CF evaluation over all pixels; inside the |z| <= RADIUS
-        # disk the CF is invalid -- contribute exactly zero there (the
-        # window pass below adds the exact value, with no cancellation)
+        # cheapest (K=2) CF evaluation over all pixels; inside the
+        # |z| <= RADIUS disk the CF is invalid and in the RADIUS <
+        # |z| <= CF_FAR_RADIUS annulus K=2 is too coarse -- both get the
+        # exact value from the window pass below, so the full pass
+        # contributes zero there (no cancellation anywhere)
         x_all = (wavelengths - lam_c) * (c_over / lam_c) * inv  # (S, P)
         ax_all = jnp.abs(x_all)
-        cf_re, _ = _wofz_cf(ax_all, jnp.full_like(x_all, y_l))
-        outer_all = ax_all * ax_all + y_l * y_l > RADIUS * RADIUS
-        tau = tau + amp * jnp.where(outer_all, cf_re, 0.0)
+        cf_re, _ = _wofz_cf(ax_all, jnp.full_like(x_all, y_l), terms=2)
+        far_all = ax_all * ax_all + y_l * y_l > CF_FAR_RADIUS * CF_FAR_RADIUS
+        tau = tau + amp * jnp.where(far_all, cf_re, 0.0)
 
         # chunk-aligned window start per row: the center sits >= 64 px
         # inside its 256-px window, far beyond the ~±2 px disk
@@ -149,11 +155,16 @@ def _lyman_series_optical_depth_windowed(
 
         x_win = (wl_win - lam_c) * (c_over / lam_c) * inv
         ax = jnp.abs(x_win)
-        inner = ax * ax + y_l * y_l <= RADIUS * RADIUS
+        r2 = ax * ax + y_l * y_l
+        inner = r2 <= RADIUS * RADIUS
+        annulus = (~inner) & (r2 <= CF_FAR_RADIUS * CF_FAR_RADIUS)
         wei_win, _ = _wofz_weideman(
             jnp.where(inner, ax, 0.0), jnp.full_like(x_win, y_l)
         )
-        corr = amp * jnp.where(inner, wei_win, 0.0)  # (S, W)
+        cf_win, _ = _wofz_cf(ax, jnp.full_like(x_win, y_l))  # full K
+        corr = amp * (
+            jnp.where(inner, wei_win, 0.0) + jnp.where(annulus, cf_win, 0.0)
+        )  # (S, W)
 
         # dense placement over the chunk axis
         sel0 = (c0[:, None] == j_idx[None, :]).astype(dtype)  # (S, nc)
