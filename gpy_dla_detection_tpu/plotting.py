@@ -381,6 +381,36 @@ def plot_line_density_external(z_cent, dNdX, xerrs, label="Parks", ax=None):
     return ax
 
 
+def build_correlation_matrix(M):
+    """Correlation matrix of the learned low-rank covariance K = M M^T
+    (reference: qso_loader.py:50-73 GPLoader.build_correlation_matrix)."""
+    M = np.asarray(M)
+    d = np.sqrt(np.sum(M * M, axis=1, keepdims=True))
+    M_div_d = M / np.where(d > 0, d, 1.0)
+    return M_div_d @ M_div_d.T
+
+
+def plot_model_correlation(rest_wavelengths, M, ax=None):
+    """Heatmap of the learned GP's pixel-pixel correlation structure
+    (reference: qso_loader.py:32-73 GPLoader + its plotting use)."""
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots(figsize=(7, 6))
+    rest_wavelengths = np.asarray(rest_wavelengths)
+    C = build_correlation_matrix(M)
+    extent = [
+        rest_wavelengths[0],
+        rest_wavelengths[-1],
+        rest_wavelengths[-1],
+        rest_wavelengths[0],
+    ]
+    im = ax.imshow(C, cmap="RdBu_r", vmin=-1, vmax=1, extent=extent)
+    plt.colorbar(im, ax=ax, label="correlation")
+    ax.set_xlabel(r"rest wavelength [$\AA$]")
+    ax.set_ylabel(r"rest wavelength [$\AA$]")
+    return ax
+
+
 # ---------------------------------------------------------------------------
 # split / bootstrap figures (reference: make_plots.py:1-310,
 # make_multi_dla_plots.py, calc_cddf.py:345-378)

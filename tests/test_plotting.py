@@ -99,6 +99,13 @@ def test_all_plots_render(tmp_path):
     ax = plotting.plot_cddf_external(l_cent, cddf, (cddf * 0, cddf * 0), moment=True)
     ax = plotting.plot_line_density_external(z_cent, dndx, (z_cent * 0, z_cent * 0))
 
+    # learned-model correlation heatmap (GPLoader parity)
+    C = plotting.build_correlation_matrix(np.asarray(learned.M))
+    np.testing.assert_allclose(np.diag(C), 1.0, rtol=1e-10)
+    assert np.abs(C).max() <= 1.0 + 1e-8
+    ax = plotting.plot_model_correlation(learned.rest_wavelengths, learned.M)
+    ax.figure.savefig(str(tmp_path / "corr.png"), dpi=40)
+
 
 def test_split_and_bootstrap_plots_render(tmp_path):
     from gpy_dla_detection_tpu import plotting
