@@ -43,6 +43,13 @@ def main(argv=None):
         help="override the QMC sample count (default: Parameters default)",
     )
     parser.add_argument(
+        "--plot-figures",
+        action="store_true",
+        help="write a per-spectrum model plot (sample-likelihood scatter "
+        "+ MAP-absorbed mean) next to the output catalog "
+        "(reference: run_bayes_select.py:238-244)",
+    )
+    parser.add_argument(
         "--checkpoint",
         action="store_true",
         help="persist every batch's results to a part file and resume "
@@ -167,6 +174,34 @@ def main(argv=None):
             f"{name}: p_dla={r.p_dla:.4f} "
             f"MAP z={r.map_z_dlas[0, 0]:.4f} logNHI={r.map_log_nhis[0, 0]:.3f}"
         )
+
+    if args.plot_figures:
+        import os as _os
+
+        from .models.learned import build_spectrum_model
+        from .plotting import plot_dla_model
+
+        plot_dir = args.output + "_figures"
+        _os.makedirs(plot_dir, exist_ok=True)
+        for r, spec, name in zip(results, spectra, qso_list):
+            model = build_spectrum_model(learned.astype(np.float64), spec, params)
+            z_s = float(spec.min_z_dla) + (
+                float(spec.max_z_dla) - float(spec.min_z_dla)
+            ) * np.asarray(dla_samples.offset_samples)
+            fig = plot_dla_model(
+                model,
+                params,
+                sample_z_dlas=z_s,
+                log_nhi_samples=np.asarray(dla_samples.log_nhi_samples),
+                sample_log_likelihoods=r.sample_log_likelihoods_dla,
+                map_z_dlas=r.map_z_dlas,
+                map_log_nhis=r.map_log_nhis,
+                nth_dla=max(int(np.argmax(r.selection.model_posteriors)) - 1, 1),
+                title=f"{name}  p_dla={r.p_dla:.3f}",
+            )
+            base = _os.path.splitext(_os.path.basename(name))[0]
+            fig.savefig(_os.path.join(plot_dir, f"{base}.png"), dpi=100)
+        print(f"wrote figures to {plot_dir}/")
 
     write_catalog(
         args.output, results, params, args.max_dlas, z_qso_list, qso_list

@@ -51,8 +51,15 @@ def test_run_bayes_select_cli(tmp_path, monkeypatch):
             "float64",
             "--output",
             out,
+            "--plot-figures",
         ]
     )
+
+    # per-spectrum figures (reference: run_bayes_select.py:238-244)
+    import os
+
+    figures = os.listdir(out + "_figures")
+    assert len(figures) == 2 and all(f.endswith(".png") for f in figures)
 
     with h5py.File(out, "r") as f:
         p_dlas = f["p_dlas"][()]
