@@ -67,6 +67,18 @@ def load():
         ctypes.POINTER(ctypes.c_double),
         ctypes.c_int,
     ]
+    lib.voigt_absorption_lls_batch.argtypes = lib.voigt_absorption_batch.argtypes
+    lib.voigt_absorption_civ_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_double)
+    ] * 7 + [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
+    ]
     lib.preprocess_spectrum.restype = ctypes.c_int64
     _lib = lib
     return lib
@@ -128,6 +140,81 @@ def voigt_absorption(
         ctypes.c_int64(S),
         _ptr(out),
         ctypes.c_int(num_threads),
+    )
+    return out
+
+
+def voigt_absorption_lls(
+    wavelengths,
+    nhi,
+    z_absorber,
+    num_lines: int = 3,
+    broadening: bool = True,
+    num_threads: int = 0,
+):
+    """Batched LLS-break absorption on the host CPU (same semantics as
+    ops/voigt.py ``voigt_absorption_lls``)."""
+    lib = load()
+    wavelengths = np.ascontiguousarray(wavelengths, np.float64)
+    nhi = np.atleast_1d(np.ascontiguousarray(nhi, np.float64))
+    z_absorber = np.atleast_1d(np.ascontiguousarray(z_absorber, np.float64))
+    S, P = nhi.shape[0], wavelengths.shape[0]
+    width = C.INSTRUMENT_PROFILE_HALF_WIDTH if broadening else 0
+    out = np.empty((S, P - 2 * width))
+    lam = np.ascontiguousarray(C.LYMAN_WAVELENGTHS_A[:num_lines])
+    lead = np.ascontiguousarray(C.LYMAN_LEADING_CONSTANTS[:num_lines])
+    gam = np.ascontiguousarray(C.LYMAN_LORENTZIAN_WIDTHS[:num_lines])
+    profile = np.ascontiguousarray(C.INSTRUMENT_PROFILE)
+    if num_threads == 0:
+        num_threads = os.cpu_count() or 1
+    lib.voigt_absorption_lls_batch(
+        _ptr(wavelengths), _ptr(nhi), _ptr(z_absorber),
+        _ptr(lam), _ptr(lead), _ptr(gam),
+        ctypes.c_double(C.THERMAL_SIGMA_CGS),
+        _ptr(profile) if broadening else None,
+        ctypes.c_int(C.INSTRUMENT_PROFILE_HALF_WIDTH),
+        ctypes.c_int(num_lines),
+        ctypes.c_int64(P), ctypes.c_int64(S),
+        _ptr(out), ctypes.c_int(num_threads),
+    )
+    return out
+
+
+def voigt_absorption_civ(
+    wavelengths,
+    nciv,
+    z_civ,
+    sigma,
+    num_lines: int = 2,
+    broadening: bool = True,
+    num_threads: int = 0,
+):
+    """Batched CIV-doublet absorption (free per-sample sigma) on the
+    host CPU (same semantics as ops/voigt.py ``voigt_absorption_civ``)."""
+    lib = load()
+    wavelengths = np.ascontiguousarray(wavelengths, np.float64)
+    nciv = np.atleast_1d(np.ascontiguousarray(nciv, np.float64))
+    z_civ = np.atleast_1d(np.ascontiguousarray(z_civ, np.float64))
+    sigma = np.atleast_1d(np.ascontiguousarray(
+        np.broadcast_to(sigma, nciv.shape), np.float64
+    ))
+    S, P = nciv.shape[0], wavelengths.shape[0]
+    width = C.INSTRUMENT_PROFILE_HALF_WIDTH if broadening else 0
+    out = np.empty((S, P - 2 * width))
+    lam = np.ascontiguousarray(C.CIV_WAVELENGTHS_CM[:num_lines] * 1e8)
+    lead = np.ascontiguousarray(C.CIV_LEADING_CONSTANTS[:num_lines])
+    gam = np.ascontiguousarray(C.CIV_LORENTZIAN_WIDTHS[:num_lines])
+    profile = np.ascontiguousarray(C.INSTRUMENT_PROFILE)
+    if num_threads == 0:
+        num_threads = os.cpu_count() or 1
+    lib.voigt_absorption_civ_batch(
+        _ptr(wavelengths), _ptr(nciv), _ptr(z_civ), _ptr(sigma),
+        _ptr(lam), _ptr(lead), _ptr(gam),
+        _ptr(profile) if broadening else None,
+        ctypes.c_int(C.INSTRUMENT_PROFILE_HALF_WIDTH),
+        ctypes.c_int(num_lines),
+        ctypes.c_int64(P), ctypes.c_int64(S),
+        _ptr(out), ctypes.c_int(num_threads),
     )
     return out
 

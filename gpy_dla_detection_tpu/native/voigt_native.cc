@@ -177,6 +177,142 @@ void voigt_absorption_batch(
   for (auto& th : threads) th.join();
 }
 
+// As voigt_absorption_batch plus the Lyman-limit break opacity
+// tau_break = nhi / 10^17.2 * (lambda_rest / 911.7641)^3 for rest
+// wavelengths below the limit (mirrors ops/voigt.py
+// voigt_absorption_lls; reference: voigt_lls.py:254-363).
+void voigt_absorption_lls_batch(
+    const double* wavelengths, const double* nhi, const double* z_absorber,
+    const double* line_wavelengths, const double* leading_constants,
+    const double* lorentz_gamma, double sigma,
+    const double* instrument_profile, int width, int num_lines,
+    int64_t num_pixels, int64_t num_absorbers, double* out,
+    int num_threads) {
+  const int64_t out_pixels = num_pixels - 2 * (instrument_profile ? width : 0);
+  const double inv_sigma = 1.0 / (std::sqrt(2.0) * sigma);
+  const double kLymanLimit = 911.7641;
+  const double kBreakNorm = std::pow(10.0, 17.2);
+
+  auto work = [&](int64_t a0, int64_t a1) {
+    std::vector<double> raw(num_pixels);
+    for (int64_t a = a0; a < a1; ++a) {
+      const double one_pz = 1.0 + z_absorber[a];
+      for (int64_t p = 0; p < num_pixels; ++p) raw[p] = 0.0;
+      for (int l = 0; l < num_lines; ++l) {
+        const double lam_c = line_wavelengths[l] * one_pz;
+        const double vel_scale = kSpeedOfLightCgs / lam_c;
+        const double amp = leading_constants[l] * inv_sigma / kSqrtPi;
+        const double yy = lorentz_gamma[l] * inv_sigma;
+        for (int64_t p = 0; p < num_pixels; ++p) {
+          const double v = (wavelengths[p] - lam_c) * vel_scale;
+          double re, im;
+          wofz_parts(v * inv_sigma, yy, &re, &im);
+          raw[p] += amp * re;
+        }
+      }
+      for (int64_t p = 0; p < num_pixels; ++p) {
+        double tau = nhi[a] * raw[p];
+        const double rest = wavelengths[p] / one_pz;
+        if (rest <= kLymanLimit) {
+          const double r = rest / kLymanLimit;
+          tau += nhi[a] / kBreakNorm * r * r * r;
+        }
+        raw[p] = std::exp(-tau);
+      }
+      double* dst = out + a * out_pixels;
+      if (instrument_profile) {
+        const int taps = 2 * width + 1;
+        for (int64_t p = 0; p < out_pixels; ++p) {
+          double acc = 0.0;
+          for (int k = 0; k < taps; ++k) acc += raw[p + k] * instrument_profile[k];
+          dst[p] = acc;
+        }
+      } else {
+        for (int64_t p = 0; p < out_pixels; ++p) dst[p] = raw[p];
+      }
+    }
+  };
+
+  if (num_threads <= 1 || num_absorbers < 2) {
+    work(0, num_absorbers);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const int64_t chunk = (num_absorbers + num_threads - 1) / num_threads;
+  for (int t = 0; t < num_threads; ++t) {
+    const int64_t a0 = t * chunk;
+    const int64_t a1 = std::min<int64_t>(a0 + chunk, num_absorbers);
+    if (a0 >= a1) break;
+    threads.emplace_back(work, a0, a1);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// CIV doublet absorption with a FREE per-absorber broadening velocity
+// (mirrors ops/voigt.py voigt_absorption_civ; reference:
+// voigt_civ.py:103-175).
+void voigt_absorption_civ_batch(
+    const double* wavelengths,        // (num_pixels,)
+    const double* nciv,               // (num_absorbers,)
+    const double* z_civ,              // (num_absorbers,)
+    const double* sigma,              // (num_absorbers,) [cm/s]
+    const double* line_wavelengths,   // (num_lines,) [A]
+    const double* leading_constants,  // (num_lines,)
+    const double* lorentz_gamma,      // (num_lines,)
+    const double* instrument_profile, int width, int num_lines,
+    int64_t num_pixels, int64_t num_absorbers, double* out,
+    int num_threads) {
+  const int64_t out_pixels = num_pixels - 2 * (instrument_profile ? width : 0);
+
+  auto work = [&](int64_t a0, int64_t a1) {
+    std::vector<double> raw(num_pixels);
+    for (int64_t a = a0; a < a1; ++a) {
+      const double one_pz = 1.0 + z_civ[a];
+      const double inv_sigma = 1.0 / (std::sqrt(2.0) * sigma[a]);
+      for (int64_t p = 0; p < num_pixels; ++p) raw[p] = 0.0;
+      for (int l = 0; l < num_lines; ++l) {
+        const double lam_c = line_wavelengths[l] * one_pz;
+        const double vel_scale = kSpeedOfLightCgs / lam_c;
+        const double amp = leading_constants[l] / kSqrtPi * inv_sigma;
+        const double yy = lorentz_gamma[l] * inv_sigma;
+        for (int64_t p = 0; p < num_pixels; ++p) {
+          const double v = (wavelengths[p] - lam_c) * vel_scale;
+          double re, im;
+          wofz_parts(v * inv_sigma, yy, &re, &im);
+          raw[p] += amp * re;
+        }
+      }
+      for (int64_t p = 0; p < num_pixels; ++p)
+        raw[p] = std::exp(-nciv[a] * raw[p]);
+      double* dst = out + a * out_pixels;
+      if (instrument_profile) {
+        const int taps = 2 * width + 1;
+        for (int64_t p = 0; p < out_pixels; ++p) {
+          double acc = 0.0;
+          for (int k = 0; k < taps; ++k) acc += raw[p + k] * instrument_profile[k];
+          dst[p] = acc;
+        }
+      } else {
+        for (int64_t p = 0; p < out_pixels; ++p) dst[p] = raw[p];
+      }
+    }
+  };
+
+  if (num_threads <= 1 || num_absorbers < 2) {
+    work(0, num_absorbers);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const int64_t chunk = (num_absorbers + num_threads - 1) / num_threads;
+  for (int t = 0; t < num_threads; ++t) {
+    const int64_t a0 = t * chunk;
+    const int64_t a1 = std::min<int64_t>(a0 + chunk, num_absorbers);
+    if (a0 >= a1) break;
+    threads.emplace_back(work, a0, a1);
+  }
+  for (auto& th : threads) th.join();
+}
+
 // Median-normalize + window + pad one spectrum (the hot host-side
 // preprocessing loop of the production data loader; mirrors
 // data/spectrum.py preprocess()).  Returns number of window pixels, or

@@ -61,3 +61,45 @@ def test_native_preprocess_matches_python():
     np.testing.assert_allclose(float(nat.normalization_median), float(py.normalization_median), rtol=1e-12)
     np.testing.assert_allclose(float(nat.min_z_dla), float(py.min_z_dla), rtol=1e-12)
     np.testing.assert_allclose(float(nat.max_z_dla), float(py.max_z_dla), rtol=1e-12)
+
+
+def test_native_lls_matches_jax():
+    """Native LLS-break absorption == ops/voigt.py f64."""
+    import jax.numpy as jnp
+
+    from gpy_dla_detection_tpu import native
+    from gpy_dla_detection_tpu.ops.voigt import voigt_absorption_lls
+
+    # grid straddling the absorbers' rest-frame Lyman limit
+    # (911.76 * (1 + 2.4) ~ 3100 A observed)
+    wl = 2900.0 * 10 ** (1e-4 * np.arange(400))
+    nhi = np.array([10.0**19.0, 10.0**20.5])
+    z = np.array([2.4, 2.55])
+    got = native.voigt_absorption_lls(wl, nhi, z, num_lines=3)
+    want = np.asarray(
+        voigt_absorption_lls(jnp.asarray(wl), jnp.asarray(nhi), jnp.asarray(z), 3)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+    # the break must actually bite below the limit for a strong absorber
+    plain = native.voigt_absorption(wl, nhi, z, num_lines=3)
+    assert np.any(got < plain - 1e-6)
+
+
+def test_native_civ_matches_jax():
+    """Native CIV doublet (free per-sample sigma) == ops/voigt.py f64."""
+    import jax.numpy as jnp
+
+    from gpy_dla_detection_tpu import native
+    from gpy_dla_detection_tpu.ops.voigt import voigt_absorption_civ
+
+    wl = 1548.0 * 3.0 * 10 ** (1e-4 * np.arange(300))
+    nciv = np.array([10.0**13.5, 10.0**14.5])
+    z = np.array([1.98, 2.01])
+    sigma = np.array([2.0e6, 4.0e6])
+    got = native.voigt_absorption_civ(wl, nciv, z, sigma)
+    want = np.asarray(
+        voigt_absorption_civ(
+            jnp.asarray(wl), jnp.asarray(nciv), jnp.asarray(z), jnp.asarray(sigma)
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
