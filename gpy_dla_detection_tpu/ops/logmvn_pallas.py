@@ -29,21 +29,25 @@ from .logmvn import LOG_2PI
 # per-block live set (absorption block + ~6 elementwise temporaries +
 # the (N, k^2) pair basis) comfortably under the ~16 MB VMEM budget —
 # oversized blocks send the Mosaic allocator into pathological search.
-BLOCK_S = 128
+BLOCK_S = 256
 
 
 def _make_kernel(k: int, has_extra: bool):
-    def _kernel(y_ref, mu_ref, omega2_ref, v_ref, mask_ref, M_ref, Mp_ref,
-                a_ref, *rest):
+    def _kernel(rows_ref, M_ref, Mp_ref, a_ref, *rest):
         if has_extra:
             extra_ref, ll_ref = rest
         else:
             (ll_ref,) = rest
-        mask = mask_ref[:]  # (1, N) f32 0/1
-        y = y_ref[:]
-        mu = mu_ref[:]
-        omega2 = omega2_ref[:]
-        v = v_ref[:]
+        # the five spectrum-level rows ride in ONE (8, N) block: five
+        # separate (1, N) inputs each pad to 8 sublanes in VMEM (40 KB
+        # apiece at N=1280) and the kernel sits 4 KB from the 16 MB
+        # scoped-VMEM limit at BLOCK_S=256
+        rows = rows_ref[:]
+        y = rows[0:1, :]
+        mu = rows[1:2, :]
+        omega2 = rows[2:3, :]
+        v = rows[3:4, :]
+        mask = rows[4:5, :]  # f32 0/1
         a_raw = a_ref[:]  # (BS, N)
         if has_extra:
             # second absorption factor (the chained-absorber product)
@@ -51,10 +55,11 @@ def _make_kernel(k: int, has_extra: bool):
             # HBM per level (measured ~19 ms per level at S=10k, B=16)
             a_raw = a_raw * extra_ref[:]
 
+        # keep the elementwise live set minimal — the Mosaic stack
+        # accounting charges every named (BS, N) temporary against the
+        # 16 MB scoped-VMEM limit
         a = jnp.where(mask > 0, a_raw, 1.0)
-        d = omega2 * a * a + v
-        d_safe = jnp.where(mask > 0, d, 1.0)
-        d_inv = mask / d_safe
+        d_inv = mask / (omega2 * a * a + v)  # masked pixels -> 0
         delta = jnp.where(mask > 0, y - mu * a, 0.0)
 
         w = a * a * d_inv  # (BS, N)
@@ -74,8 +79,11 @@ def _make_kernel(k: int, has_extra: bool):
         )  # (BS, k)
 
         quad0 = jnp.sum(delta * delta * d_inv, axis=1, keepdims=True)  # (BS, 1)
-        logdet0 = jnp.sum(
-            jnp.where(mask > 0, jnp.log(d_safe), 0.0), axis=1, keepdims=True
+        # log d = -log d_inv on valid pixels; masked entries contribute
+        # log(0 + 1) = 0 (the +(mask <= 0) keeps the log's argument
+        # positive so the inactive branch cannot produce NaN)
+        logdet0 = -jnp.sum(
+            jnp.log(d_inv + (mask <= 0)), axis=1, keepdims=True
         )
 
         # Capacitance A = I + M^T D^-1 M kept FLAT as (BS, k*k) — Mosaic
@@ -155,26 +163,27 @@ def batched_log_mvnpdf_pallas(
         if extra is not None:
             extra = pad(extra)
 
-    mask_f = mask.astype(jnp.float32)[None, :]
-    row = lambda x: x.astype(jnp.float32)[None, :]
+    rows = jnp.stack(
+        [
+            y.astype(jnp.float32),
+            mu.astype(jnp.float32),
+            omega2.astype(jnp.float32),
+            v.astype(jnp.float32),
+            mask.astype(jnp.float32),
+        ]
+    )  # (5, N)
 
-    row_spec = pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM)
     blk_spec = pl.BlockSpec(
         (BLOCK_S, N), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     in_specs = [
-        row_spec,  # y
-        row_spec,  # mu
-        row_spec,  # omega2
-        row_spec,  # v
-        row_spec,  # mask
+        pl.BlockSpec((5, N), lambda i: (0, 0), memory_space=pltpu.VMEM),  # rows
         pl.BlockSpec((N, k), lambda i: (0, 0), memory_space=pltpu.VMEM),  # M
         pl.BlockSpec((N, k * k), lambda i: (0, 0), memory_space=pltpu.VMEM),
         blk_spec,  # absorption
     ]
     args = [
-        row(y), row(mu), row(omega2), row(v), mask_f,
-        M.astype(jnp.float32), M_pair.astype(jnp.float32), absorption,
+        rows, M.astype(jnp.float32), M_pair.astype(jnp.float32), absorption,
     ]
     if extra is not None:
         in_specs.append(blk_spec)
