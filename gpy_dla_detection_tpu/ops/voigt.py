@@ -29,10 +29,8 @@ from .kernel_config import resolve_voigt_impl
 
 SQRT_2PI = 2.5066282746310002
 
-# half-width (pixels) of the exact-evaluation window around each line
-# center in the windowed fast path; the |z| <= RADIUS core spans only
-# ~±1.3 pixels at SDSS resolution (90 km/s vs 69 km/s pixels)
-WINDOW_HALF_WIDTH = 16
+# the windowed fast path aligns per-line windows to 128-pixel chunks;
+# the |z| <= RADIUS core spans only ~±1.3 px at SDSS resolution
 CHUNK = 128  # window alignment
 FAST_WINDOW = 256  # two aligned chunks per window
 # beyond this |z| the K=2 continued fraction is below f32 rounding
