@@ -108,6 +108,20 @@ def main(argv=None):
         else generate_subdla_samples(params)
     )
 
+    from .utils.metrics import RunLogger
+
+    metrics = RunLogger(
+        args.output + ".metrics.jsonl",
+        run_config=dict(
+            num_spectra=len(args.qso_list),
+            max_dlas=args.max_dlas,
+            batch_size=args.batch_size,
+            num_samples=params.num_dla_samples,
+            dtype=args.dtype,
+            devices=len(jax.devices()),
+        ),
+    )
+
     # per-spectrum failure capture (the reference records all_exceptions
     # per QSO, multi_dlas/process_qsos_multiple_dlas_meanflux.m:222-233)
     spectra = []
@@ -123,6 +137,7 @@ def main(argv=None):
             kept.append(idx)
         except Exception as e:
             print(f"[skip] {filename}: {type(e).__name__}: {e}")
+            metrics.failure(filename, f"{type(e).__name__}: {e}")
             all_exceptions.append(idx)
     qso_list = [args.qso_list[i] for i in kept]
     z_qso_list = [args.z_qso_list[i] for i in kept]
@@ -168,6 +183,13 @@ def main(argv=None):
         done = min(i + args.batch_size, len(spectra))
         rate = done / (time.time() - t0)
         print(f"[{done}/{len(spectra)}] {rate:.2f} spectra/sec")
+        metrics.batch(
+            index=i // args.batch_size,
+            size=len(chunk),
+            done=done,
+            total=len(spectra),
+            seconds=time.time() - t0,
+        )
 
     for r, name in zip(results, qso_list):
         print(
@@ -211,6 +233,12 @@ def main(argv=None):
 
         with h5py.File(args.output, "a") as f:
             f.create_dataset("all_exceptions", data=np.asarray(all_exceptions))
+    metrics.finish(
+        spectra_processed=len(results),
+        spectra_failed=len(all_exceptions),
+        spectra_per_sec=round(len(results) / max(time.time() - t0, 1e-9), 3),
+        output=args.output,
+    )
     print(f"wrote {args.output}")
 
 

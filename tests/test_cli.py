@@ -102,3 +102,38 @@ def test_run_find_lls_cli(tmp_path, monkeypatch):
     with h5py.File(out, "r") as f:
         assert f["model_posteriors"].shape == (1, 3)
         assert np.isfinite(f["log_likelihoods_no_lya"][()]).all()
+
+
+def test_run_metrics_jsonl(tmp_path, monkeypatch):
+    """The driver emits a machine-readable metrics sidecar
+    (utils/metrics.py RunLogger)."""
+    from gpy_dla_detection_tpu import run_bayes_select
+    from gpy_dla_detection_tpu.utils.metrics import read_metrics
+
+    params = Parameters(num_dla_samples=50)
+    learned = synthetic_learned_model(params)
+    wl, fx, nv, pm = synthetic_observation(params, learned, 3.0, seed=9)
+    path = str(tmp_path / "spec-0003-55555-0001.fits")
+    _write_speclite(
+        path,
+        fx.astype(np.float32),
+        np.log10(wl).astype(np.float32),
+        (1.0 / nv).astype(np.float32),
+        np.where(pm, 1 << 24, 0).astype(np.int32),
+    )
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "m.h5")
+    run_bayes_select.main(
+        ["--qso_list", path, "missing-file.fits",
+         "--z_qso_list", "3.0", "3.1",
+         "--max_dlas", "1", "--num-samples", "50",
+         "--dtype", "float64", "--output", out]
+    )
+    events = read_metrics(out + ".metrics.jsonl")
+    kinds = [e["event"] for e in events]
+    assert kinds[0] == "run_start" and kinds[-1] == "run_end"
+    assert "spectrum_failed" in kinds and "batch_done" in kinds
+    end = events[-1]
+    assert end["spectra_processed"] == 1 and end["spectra_failed"] == 1
+    batch = next(e for e in events if e["event"] == "batch_done")
+    assert batch["spectra_per_sec"] > 0
