@@ -97,3 +97,25 @@ def save_learned_model(filename: str, learned: LearnedModel) -> None:
         f.create_dataset("log_omega", data=np.asarray(learned.log_omega)[:, None])
         for name in ["log_c_0", "log_tau_0", "log_beta"]:
             f.create_dataset(name, data=np.asarray(getattr(learned, name)).reshape(1, 1))
+
+
+def save_z_learned_model(filename: str, learned: ZLearnedModel) -> None:
+    """Write a zQSO GP in the reference's .mat v7.3 layout
+    (reference: zqso_gp.py:293-319)."""
+    import h5py
+
+    with h5py.File(filename, "w") as f:
+        f.create_dataset(
+            "rest_wavelengths", data=np.asarray(learned.rest_wavelengths)[:, None]
+        )
+        f.create_dataset("mu", data=np.asarray(learned.mu)[:, None])
+        f.create_dataset("M", data=np.asarray(learned.M).T)
+        for name in [
+            "bluewards_mu",
+            "bluewards_sigma",
+            "redwards_mu",
+            "redwards_sigma",
+        ]:
+            f.create_dataset(
+                name, data=np.asarray(getattr(learned, name)).reshape(1, 1)
+            )

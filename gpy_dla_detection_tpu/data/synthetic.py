@@ -177,3 +177,40 @@ def synthetic_spectrum(
 ) -> Spectrum:
     wl, flux, nv, mask = synthetic_observation(params, learned, z_qso, seed, **kw)
     return preprocess(wl, flux, nv, mask, z_qso, params)
+
+
+def synthetic_z_learned_model(seed: int = 0, k: int = 5):
+    """Generative synthetic zQSO GP over the wide 910-3000 A window:
+    Lya / CIV / MgII emission bumps on a unit continuum, smooth
+    eigenvectors, and blueward/redward iid statistics
+    (reference model layout: zqso_gp.py:288-319)."""
+    from ..models.zqso import ZLearnedModel
+
+    rng = np.random.default_rng(seed)
+    rest = np.arange(910.0, 3000.0 + 0.125, 0.25)
+    R = rest.shape[0]
+    mu = (
+        1.0
+        + 2.0 * np.exp(-0.5 * ((rest - 1215.67) / 14.0) ** 2)
+        + 0.8 * np.exp(-0.5 * ((rest - 1549.0) / 18.0) ** 2)
+        + 0.5 * np.exp(-0.5 * ((rest - 2799.0) / 25.0) ** 2)
+    )
+    # unit median over the 1176-1256 A normalization window, consistent
+    # with the normalization applied at inference time
+    norm = np.median(mu[(rest >= 1176.0) & (rest <= 1256.0)])
+    mu /= norm
+    kernel = np.exp(-0.5 * (np.arange(-60, 61) / 20.0) ** 2)
+    kernel /= kernel.sum()
+    M = np.stack(
+        [np.convolve(rng.normal(size=R), kernel, "same") for _ in range(k)],
+        axis=1,
+    ) * (1.5 / norm)
+    return ZLearnedModel(
+        rest_wavelengths=rest,
+        mu=mu,
+        M=M,
+        bluewards_mu=np.float64(0.2),
+        bluewards_sigma=np.float64(0.5),
+        redwards_mu=np.float64(0.8),
+        redwards_sigma=np.float64(0.3),
+    )

@@ -18,7 +18,7 @@ import time
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--qso_list", nargs="+", required=True)
-    parser.add_argument("--learned-file", required=True)
+    parser.add_argument("--learned-file", default=None)
     parser.add_argument("--output", default="zqso_estimates.h5")
     parser.add_argument("--z-min", type=float, default=2.14)
     parser.add_argument("--z-max", type=float, default=6.16)
@@ -33,7 +33,13 @@ def main(argv=None):
     from .params import ZParameters
 
     params = ZParameters(num_zqso_samples=args.num_samples)
-    learned = load_z_learned_model(args.learned_file)
+    if args.learned_file:
+        learned = load_z_learned_model(args.learned_file)
+    else:
+        from .data.synthetic import synthetic_z_learned_model
+
+        print("[warn] no --learned-file given; using a synthetic zQSO model")
+        learned = synthetic_z_learned_model()
 
     z_maps = []
     t0 = time.time()

@@ -15,34 +15,9 @@ from .reference_oracle import import_reference
 
 
 def _z_learned(seed=0, k=5):
-    rng = np.random.default_rng(seed)
-    rest = np.arange(910.0, 3000.0 + 0.125, 0.25)
-    R = rest.shape[0]
-    mu = (
-        1.0
-        + 2.0 * np.exp(-0.5 * ((rest - 1215.67) / 14.0) ** 2)
-        + 0.8 * np.exp(-0.5 * ((rest - 1549.0) / 18.0) ** 2)
-        + 0.5 * np.exp(-0.5 * ((rest - 2799.0) / 25.0) ** 2)
-    )
-    # normalize so the 1176-1256 A window has unit median — the learned
-    # model is trained on spectra normalized over that window, so its
-    # mean must be consistent with the normalization applied at test time
-    norm = np.median(mu[(rest >= 1176.0) & (rest <= 1256.0)])
-    mu /= norm
-    kernel = np.exp(-0.5 * (np.arange(-60, 61) / 20.0) ** 2)
-    kernel /= kernel.sum()
-    M = np.stack(
-        [np.convolve(rng.normal(size=R), kernel, "same") for _ in range(k)], axis=1
-    ) * (1.5 / norm)
-    return ZLearnedModel(
-        rest_wavelengths=rest,
-        mu=mu,
-        M=M,
-        bluewards_mu=np.float64(0.2),
-        bluewards_sigma=np.float64(0.5),
-        redwards_mu=np.float64(0.8),
-        redwards_sigma=np.float64(0.3),
-    )
+    from gpy_dla_detection_tpu.data.synthetic import synthetic_z_learned_model
+
+    return synthetic_z_learned_model(seed=seed, k=k)
 
 
 def _observation(learned, z_true, seed=0, noise=0.08):
