@@ -211,3 +211,13 @@ class CIVParameters(Parameters):
     def max_z_civ(self, wavelengths: np.ndarray, z_qso: float) -> float:
         """(reference: civ_set_parameter.py:90-100)"""
         return z_qso - self.max_z_cut
+
+    # the generic spectrum preprocessing asks the Parameters object for
+    # the absorber search range; for the CIV pipeline that range is the
+    # doublet's, not Lyman-alpha's (caught by an end-to-end CLI drive:
+    # the inherited lya formulas put the injected doublet out of range)
+    def min_z_dla(self, wavelengths: np.ndarray, z_qso: float) -> float:
+        return self.min_z_civ(wavelengths, z_qso)
+
+    def max_z_dla(self, wavelengths: np.ndarray, z_qso: float) -> float:
+        return self.max_z_civ(wavelengths, z_qso)

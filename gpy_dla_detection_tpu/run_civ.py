@@ -46,7 +46,10 @@ def main(argv=None):
 
         learned = load_learned_model(args.learned_file)
     else:
-        raise SystemExit("--learned-file with a trained CIV GP is required")
+        from .data.synthetic import synthetic_learned_model
+
+        print("[warn] no --learned-file given; using a synthetic CIV-window model")
+        learned = synthetic_learned_model(params)
 
     samples = generate_civ_samples(params)
     p_civs, evidences = [], []

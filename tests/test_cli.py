@@ -137,3 +137,42 @@ def test_run_metrics_jsonl(tmp_path, monkeypatch):
     assert end["spectra_processed"] == 1 and end["spectra_failed"] == 1
     batch = next(e for e in events if e["event"] == "batch_done")
     assert batch["spectra_per_sec"] > 0
+
+
+def test_run_civ_cli(tmp_path, monkeypatch):
+    """CIV CLI end to end with an injected doublet (regression: the
+    search range previously used the lya wavelength and missed it)."""
+    import h5py
+    from scipy.special import wofz
+
+    from gpy_dla_detection_tpu import constants as C
+    from gpy_dla_detection_tpu import run_civ
+    from gpy_dla_detection_tpu.params import CIVParameters
+
+    params = CIVParameters(num_civ_samples=200)
+    learned = synthetic_learned_model(params)
+    z_qso, z_civ, log_n, sig = 2.2, 2.05, 14.4, 2.5e6
+    wl, fx, nv, pm = synthetic_observation(params, learned, z_qso, seed=5)
+    tau = np.zeros(wl.size)
+    for l in range(2):
+        lam_c = C.CIV_WAVELENGTHS_CM[l] * 1e8 * (1 + z_civ)
+        vel = (wl - lam_c) * (C.SPEED_OF_LIGHT_CGS / lam_c)
+        zz = (vel + 1j * C.CIV_LORENTZIAN_WIDTHS[l]) / (np.sqrt(2) * sig)
+        tau += (10.0**log_n * C.CIV_LEADING_CONSTANTS[l]
+                * np.real(wofz(zz)) / (np.sqrt(2 * np.pi) * sig))
+    path = str(tmp_path / "spec-0004-55555-0001.fits")
+    _write_speclite(
+        path,
+        (fx * np.exp(-tau)).astype(np.float32),
+        np.log10(wl).astype(np.float32),
+        (1.0 / nv).astype(np.float32),
+        np.where(pm, 1 << 24, 0).astype(np.int32),
+    )
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "civ.h5")
+    run_civ.main(
+        ["--qso_list", path, "--z_qso_list", str(z_qso),
+         "--num-samples", "200", "--output", out]
+    )
+    with h5py.File(out, "r") as f:
+        assert f["p_civs"][0] > 0.99, f["p_civs"][()]

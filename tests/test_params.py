@@ -58,3 +58,24 @@ def test_zparams_window():
     zp = ZParameters()
     assert zp.min_lambda == 910.0 and zp.max_lambda == 3000.0
     assert zp.normalization_min_lambda == 1176.0
+
+
+def test_civ_search_range_uses_doublet_wavelength():
+    """The generic preprocessing asks Parameters for the absorber search
+    range; CIVParameters must answer with the doublet's range, not
+    Lyman-alpha's (regression: an injected doublet at z=2.05 landed
+    outside the search range and the CLI returned P(CIV|D)=0.5)."""
+    import numpy as np
+
+    from gpy_dla_detection_tpu.params import CIVParameters
+
+    p = CIVParameters()
+    z_qso = 2.2
+    wl = 1311.0 * (1 + z_qso) * 10 ** (1e-4 * np.arange(700))
+    lo, hi = p.min_z_dla(wl, z_qso), p.max_z_dla(wl, z_qso)
+    assert lo == p.min_z_civ(wl, z_qso)
+    assert hi == p.max_z_civ(wl, z_qso)
+    # the range must bracket a mid-window doublet redshift
+    assert lo < 2.05 < hi
+    # and differ from the (nonsensical here) lya-based range
+    assert abs(lo - (np.min(wl) / p.lya_wavelength - 1.0)) > 0.3
