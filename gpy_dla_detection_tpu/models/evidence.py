@@ -34,7 +34,11 @@ import jax.numpy as jnp
 
 from ..ops.interp import chunked_searchsorted
 from ..ops.logmvn import batched_log_mvnpdf, log_mvnpdf_low_rank, pair_basis
-from ..ops.voigt import voigt_absorption, voigt_absorption_lls
+from ..ops.voigt import (
+    absorption_from_unit_tau,
+    voigt_absorption,
+    voigt_absorption_lls,
+)
 from ..params import Parameters
 from .learned import SpectrumModel
 
@@ -73,6 +77,7 @@ def qmc_log_evidences(
     profile: str = "dla",
     use_pallas: bool | None = None,
     voigt_impl: str | None = None,
+    unit_tau: jnp.ndarray | None = None,
 ) -> QMCEvidenceResult:
     """Marginalize the k-absorber models over the QMC sample set.
 
@@ -87,6 +92,12 @@ def qmc_log_evidences(
         reference run bit-for-bit in conformance tests).
     :param use_pallas, voigt_impl: static kernel selection, threaded to
         ops.logmvn / ops.voigt (None = auto; see ops/kernel_config.py).
+    :param unit_tau: optional precomputed (S, P) per-unit-nhi Lyman
+        optical depth for THESE offset samples (profile "dla" only).
+        The DLA and subDLA sample sets share their redshift offsets
+        (reference: multi_dlas/set_lls_parameters.m:22,59), so the
+        batch layer computes the expensive Faddeeva factor once and
+        passes it to both marginalizations.
     """
     S = offset_samples.shape[0]
     dtype = model.y.dtype
@@ -96,13 +107,16 @@ def qmc_log_evidences(
     z_samples = model.min_z_dla + (model.max_z_dla - model.min_z_dla) * offset_samples
 
     # single-absorber profiles for every sample, computed once: (S, N)
-    A = PROFILES[profile](
-        model.padded_wavelengths,
-        nhi_samples,
-        z_samples,
-        params.num_lines,
-        impl=voigt_impl,
-    )
+    if unit_tau is not None and profile == "dla":
+        A = absorption_from_unit_tau(unit_tau, nhi_samples)
+    else:
+        A = PROFILES[profile](
+            model.padded_wavelengths,
+            nhi_samples,
+            z_samples,
+            params.num_lines,
+            impl=voigt_impl,
+        )
 
     M_pair = pair_basis(model.M)
 

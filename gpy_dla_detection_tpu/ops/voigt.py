@@ -54,11 +54,14 @@ def instrumental_broadening(raw):
     return out
 
 
-def _lyman_series_optical_depth(wavelengths, nhi, z_absorber, num_lines, sigma):
-    """Summed Lyman-series optical depth tau(lambda) for each absorber.
+def _unit_lyman_series_optical_depth(wavelengths, z_absorber, num_lines, sigma):
+    """Summed Lyman-series optical depth tau(lambda) per unit column
+    density: the Faddeeva-dependent factor of ``tau = nhi * unit_tau``.
+    nhi enters the profile only as this outer scale, so one evaluation
+    serves every column-density family sharing the z samples.
 
     wavelengths: (P,) observed wavelengths [A]
-    nhi, z_absorber: (...,) column density [cm^-2] and absorber redshift
+    z_absorber: (...,) absorber redshift
     returns: (..., P)
     """
     dtype = wavelengths.dtype
@@ -75,11 +78,11 @@ def _lyman_series_optical_depth(wavelengths, nhi, z_absorber, num_lines, sigma):
         w_re, _ = wofz_parts(velocity * inv, gam_l * inv)
         contrib = (lead_l * inv / jnp.asarray(jnp.sqrt(jnp.pi), dtype)) * w_re
         tau = contrib if tau is None else tau + contrib
-    return nhi[..., None] * tau
+    return tau
 
 
-def _lyman_series_optical_depth_windowed(
-    wavelengths, nhi, z_absorber, num_lines, sigma
+def _unit_lyman_series_optical_depth_windowed(
+    wavelengths, z_absorber, num_lines, sigma
 ):
     """Fast path: continued-fraction Faddeeva everywhere plus the exact
     (Weideman) evaluation on a 256-pixel window around each line center
@@ -173,7 +176,47 @@ def _lyman_series_optical_depth_windowed(
         )  # (S, nc, CH)
         tau = tau + place.reshape(S, P_pad)[:, :P]
 
-    return nhi[:, None] * tau
+    return tau
+
+
+def unit_lyman_optical_depth(
+    wavelengths,
+    z_absorber,
+    num_lines: int = 3,
+    sigma: float = C.THERMAL_SIGMA_CGS,
+    impl: str | None = None,
+):
+    """Per-unit-column-density Lyman-series optical depth: the expensive
+    (Faddeeva) factor of a Voigt profile, which depends on the absorber
+    redshift but NOT on nhi.  ``tau = nhi * unit_tau``; see
+    :func:`absorption_from_unit_tau`.
+
+    This is the sharing point between the DLA and subDLA models: the
+    reference draws both models' redshifts from the *same* Halton
+    dimension (reference: multi_dlas/set_lls_parameters.m:22,59 — only
+    the logNHI dimension differs), so one unit-tau evaluation serves
+    both QMC marginalizations.
+    """
+    z_absorber = jnp.asarray(z_absorber)
+    impl = resolve_voigt_impl(impl, wavelengths)
+    if impl == "windowed" and z_absorber.ndim == 1 and wavelengths.ndim == 1:
+        return _unit_lyman_series_optical_depth_windowed(
+            wavelengths, z_absorber, num_lines, sigma
+        )
+    return _unit_lyman_series_optical_depth(
+        wavelengths, z_absorber, num_lines, sigma
+    )
+
+
+def absorption_from_unit_tau(unit_tau, nhi, broadening: bool = True):
+    """Broadened absorption profile from a precomputed unit optical
+    depth: ``conv(exp(-nhi * unit_tau))``.  The cheap (exp + 7-tap
+    conv) tail of :func:`voigt_absorption`, reusable across
+    column-density families."""
+    raw = jnp.exp(-jnp.asarray(nhi)[..., None] * unit_tau)
+    if broadening:
+        return instrumental_broadening(raw)
+    return raw
 
 
 def voigt_absorption(
@@ -213,17 +256,14 @@ def voigt_absorption(
 
         return voigt_absorption_pallas(wavelengths, nhi, z_absorber, num_lines)
     if impl == "windowed" and structured:
-        tau = _lyman_series_optical_depth_windowed(
-            wavelengths, nhi, z_absorber, num_lines, sigma
+        unit = _unit_lyman_series_optical_depth_windowed(
+            wavelengths, z_absorber, num_lines, sigma
         )
     else:
-        tau = _lyman_series_optical_depth(
-            wavelengths, nhi, z_absorber, num_lines, sigma
+        unit = _unit_lyman_series_optical_depth(
+            wavelengths, z_absorber, num_lines, sigma
         )
-    raw = jnp.exp(-tau)
-    if broadening:
-        return instrumental_broadening(raw)
-    return raw
+    return absorption_from_unit_tau(unit, nhi, broadening)
 
 
 def voigt_absorption_lls(
@@ -246,12 +286,12 @@ def voigt_absorption_lls(
     z_absorber = jnp.asarray(z_absorber)
     impl = resolve_voigt_impl(impl, wavelengths)
     if impl == "windowed" and z_absorber.ndim == 1 and wavelengths.ndim == 1:
-        tau = _lyman_series_optical_depth_windowed(
-            wavelengths, nhi, z_absorber, num_lines, sigma
+        tau = nhi[..., None] * _unit_lyman_series_optical_depth_windowed(
+            wavelengths, z_absorber, num_lines, sigma
         )
     else:
-        tau = _lyman_series_optical_depth(
-            wavelengths, nhi, z_absorber, num_lines, sigma
+        tau = nhi[..., None] * _unit_lyman_series_optical_depth(
+            wavelengths, z_absorber, num_lines, sigma
         )
     rest = wavelengths / (1.0 + z_absorber)[..., None]
     tau_break = jnp.where(

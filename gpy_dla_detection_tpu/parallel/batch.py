@@ -32,6 +32,8 @@ from ..data.catalog import PriorCatalog
 from ..data.samples import DLASamples, SubDLASamples
 from ..data.spectrum import Spectrum, stack
 from ..models.evidence import null_log_evidence, qmc_log_evidences
+from ..ops.kernel_config import resolve_voigt_impl
+from ..ops.voigt import unit_lyman_optical_depth
 from ..models.learned import LearnedModel, build_spectrum_model
 from ..models.pipeline import EvidenceOutputs, SpectrumResult
 from ..models.selection import (
@@ -48,9 +50,21 @@ def make_spectra_mesh(devices=None) -> Mesh:
     return Mesh(devices, ("spectra",))
 
 
-def _evidences_fn(params: Parameters, max_dlas: int, use_pallas, voigt_impl=None):
+def _evidences_fn(
+    params: Parameters,
+    max_dlas: int,
+    use_pallas,
+    voigt_impl=None,
+    share_unit_tau: bool = False,
+):
     """The vmapped per-batch evidence computation (pure function of the
-    array arguments; `params`/`max_dlas`/`use_pallas` are static)."""
+    array arguments; `params`/`max_dlas`/`use_pallas` are static).
+
+    With ``share_unit_tau`` (set when the DLA and subDLA offset samples
+    are bit-identical, as in the reference's sample files — reference:
+    multi_dlas/set_lls_parameters.m:22,59), the per-unit-nhi Lyman
+    optical depth is computed once per spectrum and reused by both
+    marginalizations, halving the Faddeeva work of the pipeline."""
 
     def batched(
         learned,
@@ -66,6 +80,18 @@ def _evidences_fn(params: Parameters, max_dlas: int, use_pallas, voigt_impl=None
         def one(spec, key):
             model = build_spectrum_model(learned, spec, params)
             k_dla, k_sub = jax.random.split(key)
+            unit_tau = None
+            if share_unit_tau:
+                z_samples = (
+                    model.min_z_dla
+                    + (model.max_z_dla - model.min_z_dla) * dla_offsets
+                )
+                unit_tau = unit_lyman_optical_depth(
+                    model.padded_wavelengths,
+                    z_samples,
+                    params.num_lines,
+                    impl=voigt_impl,
+                )
             return EvidenceOutputs(
                 log_evidence_null=null_log_evidence(model),
                 dla=qmc_log_evidences(
@@ -78,6 +104,7 @@ def _evidences_fn(params: Parameters, max_dlas: int, use_pallas, voigt_impl=None
                     params,
                     use_pallas=use_pallas,
                     voigt_impl=voigt_impl,
+                    unit_tau=unit_tau,
                 ),
                 subdla=qmc_log_evidences(
                     model,
@@ -89,6 +116,7 @@ def _evidences_fn(params: Parameters, max_dlas: int, use_pallas, voigt_impl=None
                     params,
                     use_pallas=use_pallas,
                     voigt_impl=voigt_impl,
+                    unit_tau=unit_tau,
                 ),
             )
 
@@ -97,7 +125,16 @@ def _evidences_fn(params: Parameters, max_dlas: int, use_pallas, voigt_impl=None
     return batched
 
 
-@partial(jax.jit, static_argnames=("params", "max_dlas", "use_pallas", "voigt_impl"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "params",
+        "max_dlas",
+        "use_pallas",
+        "voigt_impl",
+        "share_unit_tau",
+    ),
+)
 def _batched_evidences(
     learned: LearnedModel,
     specs: Spectrum,
@@ -112,8 +149,9 @@ def _batched_evidences(
     max_dlas: int,
     use_pallas=None,
     voigt_impl=None,
+    share_unit_tau: bool = False,
 ) -> EvidenceOutputs:
-    return _evidences_fn(params, max_dlas, use_pallas, voigt_impl)(
+    return _evidences_fn(params, max_dlas, use_pallas, voigt_impl, share_unit_tau)(
         learned,
         specs,
         dla_offsets,
@@ -128,7 +166,12 @@ def _batched_evidences(
 
 @functools.lru_cache(maxsize=32)
 def _sharded_evidences(
-    mesh: Mesh, params: Parameters, max_dlas: int, use_pallas, voigt_impl=None
+    mesh: Mesh,
+    params: Parameters,
+    max_dlas: int,
+    use_pallas,
+    voigt_impl=None,
+    share_unit_tau: bool = False,
 ):
     """Compile (and cache) the shard-mapped batch program for a mesh.
 
@@ -136,7 +179,7 @@ def _sharded_evidences(
     learned model and QMC samples are replicated.  Each shard traces as
     a single-device program, so per-shard ``pallas_call`` is legal.
     """
-    fn = _evidences_fn(params, max_dlas, use_pallas, voigt_impl)
+    fn = _evidences_fn(params, max_dlas, use_pallas, voigt_impl, share_unit_tau)
     mapped = jax.shard_map(
         fn,
         mesh=mesh,
@@ -180,6 +223,19 @@ def batch_evidences(
         specs = astype(specs, dtype)
         learned = learned.astype(dtype)
 
+    # the DLA and subDLA sample sets share their redshift offsets
+    # (reference: multi_dlas/set_lls_parameters.m:22,59), so the
+    # expensive Faddeeva factor can be computed once for both models.
+    # The opt-in fused Pallas Voigt computes the full profile in one
+    # kernel and cannot consume a precomputed unit tau.
+    share_unit_tau = bool(
+        np.array_equal(
+            np.asarray(dla_samples.offset_samples),
+            np.asarray(subdla_samples.offset_samples),
+        )
+        and resolve_voigt_impl(voigt_impl, specs.flux) != "pallas"
+    )
+
     cast = (lambda x: jnp.asarray(x, dtype)) if dtype is not None else jnp.asarray
     args = (
         learned,
@@ -196,7 +252,9 @@ def batch_evidences(
     if mesh is not None and mesh.devices.size > 1:
         specs, keys = _shard_batch(specs, keys, mesh)
         args = args[:1] + (specs,) + args[2:8] + (keys,)
-        return _sharded_evidences(mesh, params, max_dlas, use_pallas, voigt_impl)(*args)
+        return _sharded_evidences(
+            mesh, params, max_dlas, use_pallas, voigt_impl, share_unit_tau
+        )(*args)
 
     if mesh is not None:
         specs, keys = _shard_batch(specs, keys, mesh)
@@ -207,6 +265,7 @@ def batch_evidences(
         max_dlas=max_dlas,
         use_pallas=use_pallas,
         voigt_impl=voigt_impl,
+        share_unit_tau=share_unit_tau,
     )
 
 

@@ -175,6 +175,60 @@ def test_sharded_samples_axis_matches_unsharded(setup):
     np.testing.assert_array_equal(np.asarray(plain[2]), np.asarray(sharded[2]))
 
 
+def test_shared_unit_tau_matches_per_model_voigt(setup):
+    """The DLA and subDLA QMC sets share their redshift offsets
+    (reference: multi_dlas/set_lls_parameters.m:22,59), so the batch
+    layer computes the per-unit-nhi optical depth once and feeds both
+    marginalizations.  That shared path must reproduce the per-model
+    Voigt evaluation exactly."""
+    import jax.numpy as jnp
+
+    from gpy_dla_detection_tpu.data.spectrum import stack
+    from gpy_dla_detection_tpu.models.evidence import qmc_log_evidences
+    from gpy_dla_detection_tpu.models.learned import build_spectrum_model
+    from gpy_dla_detection_tpu.ops.voigt import unit_lyman_optical_depth
+
+    params, learned, prior, dla_s, sub_s, spectra = setup
+    assert np.array_equal(dla_s.offset_samples, sub_s.offset_samples)
+
+    spec = jax.tree.map(lambda x: x[1], stack(spectra[:2]))
+    model = build_spectrum_model(learned, spec, params)
+    key = jax.random.PRNGKey(3)
+
+    z_samples = model.min_z_dla + (model.max_z_dla - model.min_z_dla) * jnp.asarray(
+        dla_s.offset_samples
+    )
+    unit_tau = unit_lyman_optical_depth(
+        model.padded_wavelengths, z_samples, params.num_lines
+    )
+
+    for s in (dla_s, sub_s):
+        args = (
+            model,
+            jnp.asarray(s.offset_samples),
+            jnp.asarray(s.log_nhi_samples),
+            jnp.asarray(s.nhi_samples),
+            key,
+            MAX_DLAS,
+            params,
+        )
+        plain = qmc_log_evidences(*args)
+        shared = qmc_log_evidences(*args, unit_tau=unit_tau)
+        np.testing.assert_allclose(
+            np.asarray(plain.log_evidences),
+            np.asarray(shared.log_evidences),
+            rtol=1e-12,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(plain.base_sample_inds), np.asarray(shared.base_sample_inds)
+        )
+        np.testing.assert_allclose(
+            np.asarray(plain.map_z_dlas),
+            np.asarray(shared.map_z_dlas),
+            rtol=1e-12,
+        )
+
+
 def test_injected_dla_detected(setup):
     params, learned, prior, dla_s, sub_s, spectra = setup
     results = process_batch(

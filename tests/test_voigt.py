@@ -116,8 +116,8 @@ def test_windowed_fast_path_matches_exact():
     import jax.numpy as jnp
 
     from gpy_dla_detection_tpu.ops.voigt import (
-        _lyman_series_optical_depth,
-        _lyman_series_optical_depth_windowed,
+        _unit_lyman_series_optical_depth,
+        _unit_lyman_series_optical_depth_windowed,
     )
     from gpy_dla_detection_tpu.constants import THERMAL_SIGMA_CGS
 
@@ -126,16 +126,16 @@ def test_windowed_fast_path_matches_exact():
     z = rng.uniform(2.0, 2.9, size=64).astype(np.float32)
     nhi = (10.0 ** rng.uniform(20.0, 22.5, size=64)).astype(np.float32)
 
-    tau_fast = np.asarray(
-        _lyman_series_optical_depth_windowed(
-            jnp.asarray(wl), jnp.asarray(nhi), jnp.asarray(z), 3, THERMAL_SIGMA_CGS
+    tau_fast = nhi[:, None] * np.asarray(
+        _unit_lyman_series_optical_depth_windowed(
+            jnp.asarray(wl), jnp.asarray(z), 3, THERMAL_SIGMA_CGS
         )
     )
     # same-precision baseline: the windowed trick must add nothing on
     # top of the exact f32 evaluation
-    tau_f32 = np.asarray(
-        _lyman_series_optical_depth(
-            jnp.asarray(wl), jnp.asarray(nhi), jnp.asarray(z), 3, THERMAL_SIGMA_CGS
+    tau_f32 = nhi[:, None] * np.asarray(
+        _unit_lyman_series_optical_depth(
+            jnp.asarray(wl), jnp.asarray(z), 3, THERMAL_SIGMA_CGS
         )
     )
     err32 = np.abs(
@@ -145,10 +145,9 @@ def test_windowed_fast_path_matches_exact():
 
     # vs f64 ground truth: bounded by the intrinsic f32 Faddeeva annulus
     # error (~1e-3 on the profile at tau-of-order-1 pixels near a core)
-    tau_exact = np.asarray(
-        _lyman_series_optical_depth(
+    tau_exact = nhi[:, None].astype(np.float64) * np.asarray(
+        _unit_lyman_series_optical_depth(
             jnp.asarray(wl, jnp.float64),
-            jnp.asarray(nhi, jnp.float64),
             jnp.asarray(z, jnp.float64),
             3,
             THERMAL_SIGMA_CGS,
