@@ -176,6 +176,10 @@ class ProcessedCatalog:
 
         self.snrs = np.asarray(snrs) if snrs is not None else None
         self.snr_thresh = snr_thresh
+        # optional arbitrary per-spectrum boolean mask ANDed into every
+        # spectrum filter — the reference's z_qso / path-length split
+        # hook (reference: calc_cddf.py:140,498)
+        self.condition: np.ndarray | None = None
         self.lowzcut = lowzcut
         self.proximity_zone = 0.1
         self.bins_per_z = 6
@@ -268,9 +272,14 @@ class ProcessedCatalog:
         return zqso - self.proximity_zone
 
     def _snr_mask(self):
-        if self.snrs is None:
-            return np.ones_like(self.z_min(), dtype=bool)
-        return self._view(self.snrs) > self.snr_thresh
+        mask = (
+            np.ones_like(self.z_min(), dtype=bool)
+            if self.snrs is None
+            else self._view(self.snrs) > self.snr_thresh
+        )
+        if self.condition is not None:
+            mask = mask & self._view(np.asarray(self.condition, bool))
+        return mask
 
     def _p_dla_k(self, second):
         """P(at least 1 DLA) for second=0; P(exactly k+1 DLAs) else."""

@@ -122,3 +122,45 @@ def test_split_and_bootstrap_plots_render(tmp_path):
     ax = plotting.plot_dndx_sample_errors(cat, z_min=2.0, z_max=3.5, nsample=3)
     ax.figure.savefig(str(tmp_path / "dndx_errs.png"), dpi=40)
     ax = plotting.plot_omega_sample_errors(cat, z_min=2.0, z_max=3.5, nsample=3)
+
+
+def test_paper_plot_drivers_render(tmp_path):
+    """Every make_plots.py-style driver renders its full figure set and
+    writes the data tables, and catalog state is restored afterwards
+    (reference: CDDF_analysis/make_plots.py:12-269)."""
+    from gpy_dla_detection_tpu.analysis import paper_plots as pp
+    from .test_cddf import _toy_catalog
+
+    cat, *_ = _toy_catalog(num_spec=30, S=200)
+    cat.bins_per_z = 2  # keep the z binning coarse for 30 spectra
+    sub = str(tmp_path / "paper")
+
+    before = (cat.snr_thresh, cat.lowzcut, cat.max_k,
+              cat.p_thresh_sample, cat.p_thresh_spec, cat.condition)
+    pp.make_all_plots(cat, sub)
+    after = (cat.snr_thresh, cat.lowzcut, cat.max_k,
+             cat.p_thresh_sample, cat.p_thresh_spec, cat.condition)
+    assert before == after
+
+    import os
+    made = set(os.listdir(sub))
+    for stem in [
+        "cddf_gp", "cddf_moment_gp", "cddf_zz_gp", "dndx_gp", "omega_gp",
+        "dndx_gp_resample", "omega_gp_resample", "dndx_p_thresh",
+        "omega_gp_snr", "dndx_gp_snr", "omega_gp_lowz", "dndx_gp_lowz",
+        "omega_gp_zqsoFalse", "dndx_gp_zqsoFalse", "omega_gp_zqsoTrue",
+        "omega_gp_zdiff", "dndx_gp_zdiff", "omega_gp_diff", "dndx_2dla",
+        "omega_2dla",
+    ]:
+        assert f"{stem}.pdf" in made, stem
+    for txt in ["cddf_all.txt", "cddf_z34.txt", "dndx_all.txt",
+                "omega_dla_all.txt"]:
+        assert txt in made, txt
+        data = np.loadtxt(os.path.join(sub, txt))
+        assert data.shape[0] == 6  # value + 68/95 bands
+
+    # compare-plots overlay two catalogs
+    cat2, *_ = _toy_catalog(num_spec=30, S=200, seed=1)
+    cat2.bins_per_z = 2
+    pp.do_compare_plots(cat, cat2, sub, label="alt")
+    assert "omega_alt.pdf" in set(os.listdir(sub))
