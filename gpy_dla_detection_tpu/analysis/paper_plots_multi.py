@@ -1,0 +1,299 @@
+"""Multi-DLA paper-figure drivers: one function per figure family of
+the multi-DLA paper (reference: CDDF_analysis/make_multi_dla_plots.py).
+
+These orchestrate the comparison machinery (analysis/comparison.py,
+analysis/external.py) and the plotting primitives (plotting.py) into
+the reference's named figure set: MAP-accuracy histograms, ROC and
+confusion comparisons, external-catalog (Parks CNN / Noterdaeme) CDDF
+and dN/dX overlays with SNR checks, and the learned-model procedure
+figures.
+"""
+
+from __future__ import annotations
+
+import os
+from os import path
+
+import numpy as np
+
+from .comparison import ComparisonResult
+from .external import (
+    ExternalEstimations,
+    column_density_function_external,
+    line_density_external,
+)
+from .paper_plots import _plot_cddf, _plot_line_density, save_figure
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+# ---------------------------------------------------------------------------
+# MAP-accuracy and classifier comparisons
+# ---------------------------------------------------------------------------
+def do_MAP_comparison(
+    result: ComparisonResult, subdir: str, label: str = "concordance",
+    num_bins: int = 100,
+):
+    """Histograms of the MAP parameter residuals against a truth
+    catalog (reference: make_multi_dla_plots.py:210-300
+    do_MAP_concordance_comparison / do_MAP_parks_comparison)."""
+    plt = _plt()
+    os.makedirs(subdir, exist_ok=True)
+
+    plt.hist(result.delta_z, bins=np.linspace(-0.01, 0.01, num_bins))
+    plt.xlabel(r"$z_\mathrm{MAP} - z_\mathrm{%s}$" % label)
+    plt.ylabel("sightlines")
+    save_figure(path.join(subdir, f"MAP_z_delta_{label}"))
+    plt.clf()
+
+    plt.hist(result.delta_log_nhi, bins=np.linspace(-1.0, 1.0, num_bins))
+    plt.xlabel(r"$\log N_\mathrm{HI,MAP} - \log N_\mathrm{HI,%s}$" % label)
+    plt.ylabel("sightlines")
+    save_figure(path.join(subdir, f"MAP_lognhi_delta_{label}"))
+    plt.clf()
+
+
+def do_ROC_comparisons(results: dict, subdir: str, name: str = "roc"):
+    """Overlay ROC curves of several runs/catalogs
+    (reference: make_multi_dla_plots.py:347-369)."""
+    plt = _plt()
+    os.makedirs(subdir, exist_ok=True)
+    for label, res in results.items():
+        plt.plot(res.fpr, res.tpr, label=f"{label} (AUC={res.auc:.3f})")
+    plt.plot([0, 1], [0, 1], ls=":", color="k", lw=0.5)
+    plt.xlabel("false positive rate")
+    plt.ylabel("true positive rate")
+    plt.legend(loc=0)
+    save_figure(path.join(subdir, name))
+    plt.clf()
+
+
+def multi_roc(model_posteriors, truth_counts, sub_dla: int = 1, max_k: int = 4):
+    """Multi-DLA ROC over "sub-sightlines": tier k of sightline i is a
+    positive iff the truth catalog has more than k DLAs there, scored
+    by the posterior odds of at least k+1 DLAs vs no DLA
+    (reference: qso_loader.py:618-661 make_multi_ROC).
+
+    :return: (fpr, tpr, auc)
+    """
+    mp = np.asarray(model_posteriors, np.float64)
+    counts = np.asarray(truth_counts)
+    p_no = mp[:, : 1 + sub_dla].sum(axis=1)
+    # P(>= k DLAs) for k = 1..max_k as reversed-cumulative sums
+    p_dla_blocks = mp[:, 1 + sub_dla :]
+    p_at_least = np.cumsum(p_dla_blocks[:, ::-1], axis=1)[:, ::-1]
+
+    scores, labels = [], []
+    for k in range(min(max_k, p_at_least.shape[1])):
+        scores.append(p_at_least[:, k] / np.maximum(p_no, 1e-300))
+        labels.append(counts > k)
+    scores = np.concatenate(scores)
+    labels = np.concatenate(labels)
+
+    order = np.argsort(scores)[::-1]
+    labels = labels[order]
+    tp = np.cumsum(labels)
+    fp = np.cumsum(~labels)
+    tpr = tp / max(tp[-1], 1)
+    fpr = fp / max(fp[-1], 1)
+    auc = float(np.trapezoid(tpr, fpr))
+    return fpr, tpr, auc
+
+
+def do_multi_ROC(
+    model_posteriors, truth_counts, subdir: str, sub_dla: int = 1,
+    max_k: int = 4, label: str = "parks",
+):
+    """Multi-DLA ROC figure (reference: make_multi_dla_plots.py:371-389)."""
+    plt = _plt()
+    os.makedirs(subdir, exist_ok=True)
+    fpr, tpr, auc = multi_roc(model_posteriors, truth_counts, sub_dla, max_k)
+    plt.plot(fpr, tpr, label=f"multi-DLA vs {label} (AUC={auc:.3f})")
+    plt.plot([0, 1], [0, 1], ls=":", color="k", lw=0.5)
+    plt.xlabel("false positive rate")
+    plt.ylabel("true positive rate")
+    plt.legend(loc=0)
+    save_figure(path.join(subdir, f"multi_roc_{label}"))
+    plt.clf()
+    return fpr, tpr, auc
+
+
+def do_confusion(
+    result: ComparisonResult, subdir: str, label: str = "parks",
+    normalize: bool = True,
+):
+    """Multi-DLA confusion-matrix figure
+    (reference: make_multi_dla_plots.py:321-345 do_confusion_parks)."""
+    from ..plotting import plot_confusion
+
+    plt = _plt()
+    os.makedirs(subdir, exist_ok=True)
+    plot_confusion(result.confusion, normalize=normalize)
+    save_figure(path.join(subdir, f"confusion_{label}"))
+    plt.clf()
+
+
+# ---------------------------------------------------------------------------
+# external-catalog population overlays
+# ---------------------------------------------------------------------------
+def do_external_CDDF(
+    cat, est: ExternalEstimations, subdir: str, label: str = "parks",
+    snr_thresh: float = -2.0, p_thresh: float = 0.98, zmax: float = 5.0,
+    apply_p_dlas: bool = False,
+):
+    """GP CDDF with the external catalog's point-estimate CDDF overlaid
+    (reference: make_multi_dla_plots.py:391-430 do_NoterdaemeDR12_CDDF,
+    :447-494 do_Parks_CDDF)."""
+    plt = _plt()
+    os.makedirs(subdir, exist_ok=True)
+    _plot_cddf(cat, zmax=zmax)
+    l_cent, cddf, xerrs = column_density_function_external(
+        est, z_max=zmax, snr_thresh=snr_thresh, apply_p_dlas=apply_p_dlas
+    )
+    ii = cddf > 0
+    plt.errorbar(
+        10.0 ** l_cent[ii], cddf[ii], xerr=(xerrs[0][ii], xerrs[1][ii]),
+        fmt="s", label=label, alpha=0.8,
+    )
+    np.savetxt(path.join(subdir, f"cddf_{label}.txt"), (l_cent, cddf))
+    plt.xlim(1e20, 1e23)
+    plt.legend(loc=0)
+    save_figure(path.join(subdir, f"cddf_gp_{label}"))
+    plt.clf()
+    return l_cent, cddf
+
+
+def do_external_dNdX(
+    cat, est: ExternalEstimations, subdir: str, label: str = "parks",
+    snr_thresh: float = -2.0, zmax: float = 5.0, apply_p_dlas: bool = False,
+):
+    """GP dN/dX with the external catalog's overlaid
+    (reference: make_multi_dla_plots.py:431-446, 495-513)."""
+    plt = _plt()
+    os.makedirs(subdir, exist_ok=True)
+    _plot_line_density(cat, zmax=zmax)
+    z_cent, dNdX, xerrs = line_density_external(
+        est, z_max=zmax, snr_thresh=snr_thresh, apply_p_dlas=apply_p_dlas
+    )
+    plt.errorbar(z_cent, dNdX, xerr=xerrs, fmt="s", label=label, alpha=0.8)
+    np.savetxt(path.join(subdir, f"dndx_{label}.txt"), (z_cent, dNdX))
+    plt.legend(loc=0)
+    save_figure(path.join(subdir, f"dndx_gp_{label}"))
+    plt.clf()
+    return z_cent, dNdX
+
+
+def do_external_snr_check(
+    cat, est: ExternalEstimations, subdir: str, label: str = "parks",
+    zmax: float = 5.0,
+):
+    """External-catalog CDDF and dN/dX at several SNR cuts, vs the GP at
+    the same cuts (reference: make_multi_dla_plots.py:514-583)."""
+    plt = _plt()
+    os.makedirs(subdir, exist_ok=True)
+    old_snr = cat.snr_thresh
+    try:
+        for snr, lbl in [(-2.0, "all"), (2.0, "SNR > 2"), (4.0, "SNR > 4")]:
+            cat.snr_thresh = snr
+            l_cent, cddf, xerrs = column_density_function_external(
+                est, z_max=zmax, snr_thresh=snr
+            )
+            ii = cddf > 0
+            plt.errorbar(
+                10.0 ** l_cent[ii], cddf[ii],
+                xerr=(xerrs[0][ii], xerrs[1][ii]), fmt="s",
+                label=f"{label} {lbl}", alpha=0.8,
+            )
+        plt.xscale("log")
+        plt.yscale("log")
+        plt.xlabel(r"$N_\mathrm{HI}$ (cm$^{-2}$)")
+        plt.ylabel(r"$f(N_\mathrm{HI})$")
+        plt.legend(loc=0)
+        save_figure(path.join(subdir, f"cddf_{label}_snr"))
+        plt.clf()
+
+        for snr, lbl in [(-2.0, "all"), (2.0, "SNR > 2"), (4.0, "SNR > 4")]:
+            cat.snr_thresh = snr
+            z_cent, dNdX, xerrs = line_density_external(
+                est, z_max=zmax, snr_thresh=snr
+            )
+            plt.errorbar(
+                z_cent, dNdX, xerr=xerrs, fmt="s",
+                label=f"{label} {lbl}", alpha=0.8,
+            )
+        plt.xlabel("z")
+        plt.ylabel("dN/dX")
+        plt.legend(loc=0)
+        save_figure(path.join(subdir, f"dndx_{label}_snr"))
+        plt.clf()
+    finally:
+        cat.snr_thresh = old_snr
+
+
+# ---------------------------------------------------------------------------
+# learned-model procedure figures
+# ---------------------------------------------------------------------------
+def do_procedure_plots(learned_a, learned_b, subdir: str,
+                       labels=("re-trained", "original")):
+    """Compare two learned models' omega curves and show the
+    correlation structure of the first
+    (reference: make_multi_dla_plots.py:87-150)."""
+    from ..plotting import build_correlation_matrix
+
+    plt = _plt()
+    os.makedirs(subdir, exist_ok=True)
+
+    plt.figure(figsize=(16, 5))
+    plt.plot(
+        np.asarray(learned_a.rest_wavelengths),
+        np.exp(np.asarray(learned_a.log_omega)),
+        label=rf"{labels[0]} $\omega$",
+    )
+    plt.plot(
+        np.asarray(learned_b.rest_wavelengths),
+        np.exp(np.asarray(learned_b.log_omega)),
+        label=rf"{labels[1]} $\omega$",
+        color="lightblue",
+    )
+    plt.legend()
+    plt.xlabel(r"rest-wavelength $\lambda_\mathrm{rest}$ [$\AA$]")
+    plt.ylabel("normalized flux")
+    save_figure(path.join(subdir, "mu_omega_changes"))
+    plt.clf()
+
+    C = build_correlation_matrix(np.asarray(learned_a.M))
+    plt.figure(figsize=(6, 6))
+    plt.imshow(C, origin="lower")
+    plt.colorbar()
+    save_figure(path.join(subdir, "covariance_matrix"))
+    plt.clf()
+
+
+def do_this_mu_examples(
+    models, params, map_z_dlas, map_log_nhis, subdir: str,
+    truth_dlas=None,
+):
+    """Annotated-spectrum example figures, one per model
+    (reference: make_multi_dla_plots.py:171-180 do_this_mu_examples,
+    qso_loader.py:1654-1823 plot_this_mu)."""
+    from ..plotting import plot_annotated_spectrum
+
+    plt = _plt()
+    os.makedirs(subdir, exist_ok=True)
+    for i, model in enumerate(models):
+        plot_annotated_spectrum(
+            model,
+            params,
+            map_z_dlas=map_z_dlas[i],
+            map_log_nhis=map_log_nhis[i],
+            truth_dlas=(truth_dlas or [None] * len(models))[i],
+        )
+        save_figure(path.join(subdir, f"this_mu_{i}"))
+        plt.clf()

@@ -309,3 +309,127 @@ def test_zwarning_occam_patch(tmp_path):
     zwarning_occam_patch(src, flags, out_mat, occams_razor=10000.0, mat73=True)
     with open(out_mat, "rb") as f:
         assert f.read(19) == b"MATLAB 7.3 MAT-file"
+
+
+def test_multi_roc_perfect_and_random():
+    """multi_roc: tiered sub-sightline ROC (reference:
+    qso_loader.py:618-661 make_multi_ROC)."""
+    from gpy_dla_detection_tpu.analysis.paper_plots_multi import multi_roc
+
+    # perfect: posteriors concentrated on the true k
+    counts = np.array([0, 1, 2, 0, 1])
+    mp = np.zeros((5, 6))  # [null, sub, k=1..4]
+    for i, c in enumerate(counts):
+        mp[i, 0 if c == 0 else c + 1] = 1.0
+    fpr, tpr, auc = multi_roc(mp, counts, sub_dla=1, max_k=4)
+    assert auc > 0.99, auc
+
+    # anti-perfect: high odds exactly where the truth has nothing
+    mp2 = np.zeros((5, 6))
+    for i, c in enumerate(counts):
+        mp2[i, 2 if c == 0 else 0] = 1.0
+    _, _, auc2 = multi_roc(mp2, counts, sub_dla=1, max_k=4)
+    assert auc2 < 0.5, auc2
+
+
+def test_multi_dla_paper_drivers_render(tmp_path):
+    """Every make_multi_dla_plots.py-style driver renders
+    (reference: make_multi_dla_plots.py:87-583)."""
+    from gpy_dla_detection_tpu.analysis import paper_plots_multi as pm
+    from gpy_dla_detection_tpu.analysis.comparison import ComparisonResult
+
+    sub = str(tmp_path / "multi")
+    res = ComparisonResult(
+        fpr=np.linspace(0, 1, 10),
+        tpr=np.sqrt(np.linspace(0, 1, 10)),
+        auc=0.8,
+        confusion=np.array([[5, 1, 0], [1, 4, 1], [0, 1, 2]]),
+        delta_z=np.random.default_rng(0).normal(0, 0.003, 40),
+        delta_log_nhi=np.random.default_rng(1).normal(0, 0.2, 40),
+    )
+    pm.do_MAP_comparison(res, sub, label="concordance")
+    pm.do_ROC_comparisons({"GP": res, "alt": res}, sub)
+    pm.do_confusion(res, sub, label="parks")
+
+    counts = np.array([0, 1, 2, 0, 1])
+    mp = np.zeros((5, 6))
+    for i, c in enumerate(counts):
+        mp[i, 0 if c == 0 else c + 1] = 1.0
+    pm.do_multi_ROC(mp, counts, sub)
+
+    cat, *_ = _toy_catalog(num_spec=30, S=200)
+    cat.bins_per_z = 2
+    parks = _toy_parks()
+    est = external.parks_estimations(parks, np.arange(50), p_thresh=0.98)
+    pm.do_external_CDDF(cat, est, sub, label="parks")
+    pm.do_external_dNdX(cat, est, sub, label="parks")
+    old_snr = cat.snr_thresh
+    pm.do_external_snr_check(cat, est, sub, label="parks")
+    assert cat.snr_thresh == old_snr
+
+    import os
+    made = set(os.listdir(sub))
+    for stem in [
+        "MAP_z_delta_concordance", "MAP_lognhi_delta_concordance", "roc",
+        "confusion_parks", "multi_roc_parks", "cddf_gp_parks",
+        "dndx_gp_parks", "cddf_parks_snr", "dndx_parks_snr",
+    ]:
+        assert f"{stem}.pdf" in made, stem
+
+
+def test_procedure_and_this_mu_drivers(tmp_path):
+    from gpy_dla_detection_tpu.analysis import paper_plots_multi as pm
+    from gpy_dla_detection_tpu.data.synthetic import (
+        synthetic_learned_model,
+        synthetic_spectrum,
+    )
+    from gpy_dla_detection_tpu.models.learned import build_spectrum_model
+    from gpy_dla_detection_tpu.params import Parameters
+
+    params = Parameters(num_dla_samples=16)
+    learned = synthetic_learned_model(params)
+    pm.do_procedure_plots(learned, learned, str(tmp_path))
+
+    spec = synthetic_spectrum(params, learned, 3.0, seed=0, dlas=[(2.7, 21.0)])
+    model = build_spectrum_model(learned, spec, params)
+    pm.do_this_mu_examples(
+        [model], params,
+        map_z_dlas=[np.array([2.7])], map_log_nhis=[np.array([21.0])],
+        subdir=str(tmp_path),
+        truth_dlas=[{"concordance": [(2.7, 21.0)]}],
+    )
+    import os
+    made = set(os.listdir(tmp_path))
+    assert {"mu_omega_changes.pdf", "covariance_matrix.pdf", "this_mu_0.pdf"} <= made
+
+
+def test_latex_table_loaders(tmp_path):
+    """load_table / load_cddf_table consume the txt files the paper-plot
+    drivers write (reference: make_tables.py:29-119)."""
+    from gpy_dla_detection_tpu.analysis import paper_plots as pp
+    from gpy_dla_detection_tpu.analysis.tables import (
+        all_tables,
+        format_latex_num,
+        load_cddf_table,
+        load_table,
+    )
+
+    assert format_latex_num(0.0) == "$0$"
+    assert "10^" in format_latex_num(3.1e4)
+    assert "10^" not in format_latex_num(0.5)
+
+    cat, *_ = _toy_catalog(num_spec=30, S=200)
+    cat.bins_per_z = 2
+    sub = str(tmp_path / "tables")
+    pp.do_data_plots(cat, sub)
+
+    import os
+    tex = load_table(
+        os.path.join(sub, "dndx_all.txt"),
+        colheaders=("$z$", "dN/dX"), caption="dndx",
+    )
+    assert tex.count("\\\\") > 3 and "\\begin{table*}" in tex
+    tex = load_cddf_table(os.path.join(sub, "cddf_all.txt"), caption="CDDF")
+    assert "\\begin{table*}" in tex
+    combined = all_tables(sub)
+    assert combined.count("\\begin{table*}") >= 3
