@@ -681,6 +681,34 @@ class ProcessedCatalog:
         return z_cent[ii], omega, omega_err
 
     # ------------------------------------------------------------------
+    def map_from_samples(self, second=0, chunk=4096):
+        """Re-derive the MAP (z_dla, logNHI) of the DLA(second+1) model
+        directly from the stored per-sample likelihoods, processing the
+        catalog in chunks to bound memory
+        (reference: qso_loader.py:303-408 prepare_roman_map_vals).
+
+        Spectra whose evidence is NaN get NaN MAPs.
+
+        :return: (map_z_dlas, map_log_nhis) arrays of shape (Q,).
+        """
+        Q = self.sample_log_likelihoods.shape[0]
+        map_z = np.full(Q, np.nan)
+        map_n = np.full(Q, np.nan)
+        for start in range(0, Q, chunk):
+            end = min(start + chunk, Q)
+            lls = self.sample_log_likelihoods[start:end, :, second]
+            ok = ~np.all(np.isnan(lls), axis=1)
+            best = np.nanargmax(np.where(np.isnan(lls), -np.inf, lls), axis=1)
+            z = (
+                self._z_min[start:end]
+                + (self._z_max[start:end] - self._z_min[start:end])
+                * self.z_offsets[best]
+            )
+            map_z[start:end] = np.where(ok, z, np.nan)
+            map_n[start:end] = np.where(ok, self.lnhi_vals[best], np.nan)
+        return map_z, map_n
+
+    # ------------------------------------------------------------------
     # bootstrap sample errors (reference: calc_cddf.py:286-378)
     def resample(self, do_it=True, nspec=0, rng=None, min_per_bin=10):
         """Draw a new catalog of the same size with replacement,

@@ -276,6 +276,56 @@ def do_procedure_plots(learned_a, learned_b, subdir: str,
     plt.clf()
 
 
+def do_meanflux_samples(learned, wavelengths, flux, z_qso, subdir: str,
+                        tag: str = "0"):
+    """Mean-flux suppression demo for one spectrum
+    (reference: make_multi_dla_plots.py:152-169 do_meanflux_samples)."""
+    from ..plotting import plot_mean_flux
+
+    plt = _plt()
+    os.makedirs(subdir, exist_ok=True)
+    plot_mean_flux(learned, wavelengths, flux, z_qso, ax=plt.gca())
+    plt.plot(
+        np.asarray(learned.rest_wavelengths), np.asarray(learned.mu),
+        label=r"$\mu$, before suppression", color="red", ls=":",
+    )
+    plt.ylim(-1, 8)
+    plt.legend()
+    save_figure(path.join(subdir, f"meanflux_{tag}"))
+    plt.clf()
+
+
+def do_lyman_series_suppression(
+    learned, wavelengths, flux, z_qso, subdir: str, tag: str = "0"
+):
+    """Full 31-line Lyman-series suppression vs Lya-only for one
+    spectrum (reference: make_multi_dla_plots.py:182-208)."""
+    from ..plotting import plot_mean_flux
+
+    plt = _plt()
+    os.makedirs(subdir, exist_ok=True)
+    rest_wl, mu_31 = plot_mean_flux(
+        learned, wavelengths, flux, z_qso, num_lines=31
+    )
+    plt.clf()
+    rest_wl, mu_1 = plot_mean_flux(
+        learned, wavelengths, flux, z_qso, num_lines=1
+    )
+    plt.clf()
+
+    plt.figure(figsize=(16, 5))
+    plt.plot(
+        np.asarray(wavelengths) / (1.0 + z_qso), np.asarray(flux),
+        label=f"z_qso = {z_qso:.3g}", lw=0.5,
+    )
+    plt.plot(rest_wl, mu_31, label="num_lines = 31", color="red")
+    plt.plot(rest_wl, mu_1, label="num_lines =  1", color="red", ls=":")
+    plt.legend()
+    save_figure(path.join(subdir, f"test_num_lines_{tag}"))
+    plt.clf()
+    return mu_31, mu_1
+
+
 def do_this_mu_examples(
     models, params, map_z_dlas, map_log_nhis, subdir: str,
     truth_dlas=None,

@@ -350,6 +350,53 @@ def plot_annotated_spectrum(
     return ax
 
 
+def plot_mean_flux(
+    learned,
+    wavelengths,
+    flux,
+    z_qso,
+    suppressed: bool = True,
+    num_lines: int = 31,
+    ax=None,
+):
+    """Observed flux with the (optionally mean-flux-suppressed) learned
+    GP mean on the rest grid (reference: qso_loader.py:1629-1652
+    plot_mean_flux).
+
+    :return: (rest_wavelengths, mu) — the plotted mean curve.
+    """
+    from .ops.optical_depth import mean_flux_suppression
+
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots(figsize=(14, 5))
+    rest_wl = np.asarray(learned.rest_wavelengths)
+    mu = np.array(learned.mu, np.float64)
+    if suppressed:
+        tau_0 = float(np.exp(np.asarray(learned.log_tau_0)))
+        beta = float(np.exp(np.asarray(learned.log_beta)))
+        mu = mu * np.asarray(
+            mean_flux_suppression(
+                rest_wl * (1.0 + z_qso), beta, tau_0, z_qso, num_lines
+            )
+        )
+    ax.plot(
+        np.asarray(wavelengths) / (1.0 + z_qso),
+        np.asarray(flux),
+        label="observed flux",
+        color="C0",
+        lw=0.5,
+    )
+    ax.plot(
+        rest_wl, mu,
+        label=r"mean-flux $\mu \circ \exp(-\tau(1+z)^\beta)$", color="red",
+    )
+    ax.set_xlabel(r"rest wavelength [$\AA$]")
+    ax.set_ylabel("normalized flux")
+    ax.legend()
+    return rest_wl, mu
+
+
 def plot_cddf_external(l_cent, cddf, xerrs, label="Parks", ax=None, moment=False):
     """Point-estimate CDDF of an external catalog, for overplotting
     against the GP CDDF (reference: qso_loader.py:1192-1282)."""

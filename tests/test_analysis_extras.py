@@ -433,3 +433,44 @@ def test_latex_table_loaders(tmp_path):
     assert "\\begin{table*}" in tex
     combined = all_tables(sub)
     assert combined.count("\\begin{table*}") >= 3
+
+
+def test_map_from_samples_matches_injected_peak():
+    """map_from_samples re-derives the MAP from sample likelihoods
+    (reference: qso_loader.py:303-408 prepare_roman_map_vals)."""
+    cat, detected, picked, offsets, lnhi = _toy_catalog(num_spec=25, S=300)
+    map_z, map_n = cat.map_from_samples(chunk=7)
+    z_expect = 2.0 + 1.5 * offsets[picked]
+    for i in range(25):
+        if detected[i]:
+            np.testing.assert_allclose(map_z[i], z_expect[i], rtol=1e-12)
+            np.testing.assert_allclose(map_n[i], lnhi[picked[i]], rtol=1e-12)
+
+
+def test_meanflux_and_lyseries_drivers(tmp_path):
+    from gpy_dla_detection_tpu.analysis import paper_plots_multi as pm
+    from gpy_dla_detection_tpu.data.synthetic import (
+        synthetic_learned_model,
+        synthetic_observation,
+    )
+    from gpy_dla_detection_tpu.params import Parameters
+
+    params = Parameters(num_dla_samples=16)
+    learned = synthetic_learned_model(params)
+    wl, fx, nv, pm_mask = synthetic_observation(params, learned, 3.2, seed=5)
+
+    pm.do_meanflux_samples(learned, wl, fx, 3.2, str(tmp_path), tag="5")
+    mu31, mu1 = pm.do_lyman_series_suppression(
+        learned, wl, fx, 3.2, str(tmp_path), tag="5"
+    )
+    # the full Lyman series suppresses at least as much as Lya alone,
+    # strictly more below the Lyb rest wavelength
+    assert np.all(mu31 <= mu1 + 1e-12)
+    rest = np.asarray(learned.rest_wavelengths)
+    below_lyb = rest < 1025.0
+    if below_lyb.any():
+        assert np.any(mu31[below_lyb] < mu1[below_lyb] - 1e-9)
+
+    import os
+    made = set(os.listdir(tmp_path))
+    assert {"meanflux_5.pdf", "test_num_lines_5.pdf"} <= made
