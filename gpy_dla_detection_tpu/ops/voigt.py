@@ -33,10 +33,12 @@ SQRT_2PI = 2.5066282746310002
 # the |z| <= RADIUS core spans only ~±1.3 px at SDSS resolution
 CHUNK = 128  # window alignment
 FAST_WINDOW = 256  # two aligned chunks per window
-# beyond this |z| the K=2 continued fraction is below f32 rounding
-# (rel err ~1e-8 at 32); the 7 < |z| <= 32 annulus spans ~±6 px — well
-# inside the window, where the full-K correction is applied
-CF_FAR_RADIUS = 32.0
+# beyond this |z| the K=1 continued fraction truncation error is
+# ~1/(2|z|^4) ~ 2e-10 — far below f32 rounding; the 7 < |z| <= 256
+# annulus spans ~±48 px (1 px ~ 5.4 |z| units at SDSS resolution),
+# inside the window's guaranteed ±64 px margin, where the full-K
+# correction is applied
+CF_FAR_RADIUS = 256.0
 
 
 def instrumental_broadening(raw):
@@ -130,14 +132,14 @@ def _unit_lyman_series_optical_depth_windowed(
         lam_c = lam_l * one_plus_z  # line center, observed frame (S, 1)
         y_l = gam_l * inv
 
-        # cheapest (K=2) CF evaluation over all pixels; inside the
+        # cheapest (K=1) CF evaluation over all pixels; inside the
         # |z| <= RADIUS disk the CF is invalid and in the RADIUS <
-        # |z| <= CF_FAR_RADIUS annulus K=2 is too coarse -- both get the
+        # |z| <= CF_FAR_RADIUS annulus K=1 is too coarse -- both get the
         # exact value from the window pass below, so the full pass
         # contributes zero there (no cancellation anywhere)
         x_all = (wavelengths - lam_c) * (c_over / lam_c) * inv  # (S, P)
         ax_all = jnp.abs(x_all)
-        cf_re, _ = _wofz_cf(ax_all, jnp.full_like(x_all, y_l), terms=2)
+        cf_re, _ = _wofz_cf(ax_all, jnp.full_like(x_all, y_l), terms=1)
         far_all = ax_all * ax_all + y_l * y_l > CF_FAR_RADIUS * CF_FAR_RADIUS
         tau = tau + amp * jnp.where(far_all, cf_re, 0.0)
 

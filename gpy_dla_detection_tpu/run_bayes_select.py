@@ -122,74 +122,110 @@ def main(argv=None):
         ),
     )
 
-    # per-spectrum failure capture (the reference records all_exceptions
-    # per QSO, multi_dlas/process_qsos_multiple_dlas_meanflux.m:222-233)
-    spectra = []
-    kept, all_exceptions = [], []
-    for idx, (filename, z_qso) in enumerate(zip(args.qso_list, args.z_qso_list)):
-        try:
-            wavelengths, flux, noise_variance, pixel_mask = read_spec(filename)
-            spectra.append(
-                preprocess(
-                    wavelengths, flux, noise_variance, pixel_mask, z_qso, params
-                )
-            )
-            kept.append(idx)
-        except Exception as e:
-            print(f"[skip] {filename}: {type(e).__name__}: {e}")
-            metrics.failure(filename, f"{type(e).__name__}: {e}")
-            all_exceptions.append(idx)
-    qso_list = [args.qso_list[i] for i in kept]
-    z_qso_list = [args.z_qso_list[i] for i in kept]
-
     mesh = make_spectra_mesh() if len(jax.devices()) > 1 else None
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
 
     import os
     import pickle
 
+    from .utils.prefetch import prefetch_map
+
     checkpoint = args.checkpoint or bool(args.checkpoint_every)
 
+    # batches stream through a host-side prefetcher: batch i+1 is read
+    # and preprocessed on a worker thread while the device computes
+    # batch i, and only the in-flight batches are resident (the
+    # reference preloads the whole survey into preloaded_qsos.mat —
+    # reference: preload_qsos.m:56-79)
+    total = len(args.qso_list)
+    starts = list(range(0, total, args.batch_size))
+
+    def part_path(start):
+        return f"{args.output}.part{start:08d}.pkl"
+
+    def load_batch(start):
+        """Read + preprocess one batch on the worker thread, with
+        per-spectrum failure capture (the reference records
+        all_exceptions per QSO,
+        multi_dlas/process_qsos_multiple_dlas_meanflux.m:222-233)."""
+        resumed = checkpoint and os.path.exists(part_path(start))
+        if resumed and not args.plot_figures:
+            return start, None, [], []  # results come from the part file
+        specs, kept, errors = [], [], []
+        for idx in range(start, min(start + args.batch_size, total)):
+            filename, z_qso = args.qso_list[idx], args.z_qso_list[idx]
+            try:
+                wavelengths, flux, noise_variance, pixel_mask = read_spec(
+                    filename
+                )
+                specs.append(
+                    preprocess(
+                        wavelengths, flux, noise_variance, pixel_mask,
+                        z_qso, params,
+                    )
+                )
+                kept.append(idx)
+            except Exception as e:
+                errors.append((idx, filename, f"{type(e).__name__}: {e}"))
+        return start, specs, kept, errors
+
     results = []
+    spectra = []  # retained only for --plot-figures
+    kept_all, all_exceptions = [], []
     key = jax.random.PRNGKey(args.seed)
+    keys = {s: k for s, k in zip(starts, jax.random.split(key, len(starts)))}
     t0 = time.time()
-    for i in range(0, len(spectra), args.batch_size):
-        key, sub = jax.random.split(key)
+    done = 0
+    for start, specs, kept, errors in prefetch_map(load_batch, starts):
+        for idx, filename, msg in errors:
+            print(f"[skip] {filename}: {msg}")
+            metrics.failure(filename, msg)
+            all_exceptions.append(idx)
+        if specs is not None and args.plot_figures:
+            spectra.extend(specs)
+
         # step-granular checkpoint/resume: every batch's results persist
         # to a part file; reruns skip completed batches (a crash reruns
         # at most the in-flight batch)
-        part_path = f"{args.output}.part{i:08d}.pkl"
-        if checkpoint and os.path.exists(part_path):
-            with open(part_path, "rb") as f:
-                results.extend(pickle.load(f))
+        if checkpoint and os.path.exists(part_path(start)):
+            with open(part_path(start), "rb") as f:
+                batch_kept, batch_results = pickle.load(f)
+            results.extend(batch_results)
+            kept_all.extend(batch_kept)
+            done += len(batch_results)
             continue
-        chunk = spectra[i : i + args.batch_size]
+        kept_all.extend(kept)
+        if not specs:
+            continue
         batch_results = process_batch(
             learned,
-            chunk,
+            specs,
             dla_samples,
             subdla_samples,
             prior,
             params,
-            sub,
+            keys[start],
             args.max_dlas,
             mesh=mesh,
             dtype=dtype,
         )
         if checkpoint:
-            with open(part_path, "wb") as f:
-                pickle.dump(batch_results, f)
+            with open(part_path(start), "wb") as f:
+                pickle.dump((kept, batch_results), f)
         results.extend(batch_results)
-        done = min(i + args.batch_size, len(spectra))
+        done += len(batch_results)
         rate = done / (time.time() - t0)
-        print(f"[{done}/{len(spectra)}] {rate:.2f} spectra/sec")
+        print(f"[{done}/{total}] {rate:.2f} spectra/sec")
         metrics.batch(
-            index=i // args.batch_size,
-            size=len(chunk),
+            index=start // args.batch_size,
+            size=len(specs),
             done=done,
-            total=len(spectra),
+            total=total,
             seconds=time.time() - t0,
         )
+
+    qso_list = [args.qso_list[i] for i in kept_all]
+    z_qso_list = [args.z_qso_list[i] for i in kept_all]
 
     for r, name in zip(results, qso_list):
         print(
