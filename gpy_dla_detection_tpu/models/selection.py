@@ -88,7 +88,9 @@ def model_selection(
 
     max_k = np.atleast_1d(log_evidences_dla).shape[0]
     model_posteriors = np.exp(log_posteriors - _logsumexp(log_posteriors))
-    p_dla = float(np.nansum(model_posteriors[-max_k:]))
+    # the normalized posteriors can sum a hair past 1 in floating
+    # point; clamp so p_dla is a probability by construction
+    p_dla = float(np.clip(np.nansum(model_posteriors[-max_k:]), 0.0, 1.0))
 
     return ModelSelectionResult(
         log_priors=log_priors,
