@@ -50,6 +50,56 @@ def make_spectra_mesh(devices=None) -> Mesh:
     return Mesh(devices, ("spectra",))
 
 
+def device_put_inputs(
+    learned: LearnedModel,
+    dla_samples: DLASamples,
+    subdla_samples: SubDLASamples,
+    dtype=jnp.float32,
+    mesh: Mesh | None = None,
+):
+    """Commit the batch-invariant inputs (learned model + QMC samples)
+    to device memory once, so per-batch dispatches don't re-transfer
+    them (on a tunneled TPU the repeated host->device copies measured
+    ~12% of end-to-end throughput).
+
+    When the DLA and subDLA offset arrays are equal, both sample sets
+    share ONE device buffer — ``batch_evidences`` detects the shared
+    unit-tau fast path by identity, with no device->host readback.
+
+    :return: (learned, dla_samples, subdla_samples) with array fields
+        as committed device arrays.
+    """
+    sharding = (
+        NamedSharding(mesh, P()) if mesh is not None and mesh.devices.size > 1
+        else None
+    )
+
+    def put(x):
+        arr = jnp.asarray(np.asarray(x), dtype)
+        return jax.device_put(arr, sharding) if sharding is not None else (
+            jax.device_put(arr)
+        )
+
+    learned = jax.tree.map(put, learned)
+    shared_offsets = np.array_equal(
+        np.asarray(dla_samples.offset_samples),
+        np.asarray(subdla_samples.offset_samples),
+    )
+    dla_off = put(dla_samples.offset_samples)
+    sub_off = dla_off if shared_offsets else put(subdla_samples.offset_samples)
+    dla_samples = dla_samples._replace(
+        offset_samples=dla_off,
+        log_nhi_samples=put(dla_samples.log_nhi_samples),
+        nhi_samples=put(dla_samples.nhi_samples),
+    )
+    subdla_samples = subdla_samples._replace(
+        offset_samples=sub_off,
+        log_nhi_samples=put(subdla_samples.log_nhi_samples),
+        nhi_samples=put(subdla_samples.nhi_samples),
+    )
+    return learned, dla_samples, subdla_samples
+
+
 def _evidences_fn(
     params: Parameters,
     max_dlas: int,
@@ -226,14 +276,19 @@ def batch_evidences(
     # the DLA and subDLA sample sets share their redshift offsets
     # (reference: multi_dlas/set_lls_parameters.m:22,59), so the
     # expensive Faddeeva factor can be computed once for both models.
-    # The opt-in fused Pallas Voigt computes the full profile in one
-    # kernel and cannot consume a precomputed unit tau.
+    # Device-committed inputs (device_put_inputs) are detected by buffer
+    # identity — comparing them elementwise would force a device->host
+    # readback per batch.  The opt-in fused Pallas Voigt computes the
+    # full profile in one kernel and cannot consume a precomputed
+    # unit tau.
+    d_off, s_off = dla_samples.offset_samples, subdla_samples.offset_samples
+    offsets_equal = d_off is s_off or (
+        isinstance(d_off, np.ndarray)
+        and isinstance(s_off, np.ndarray)
+        and np.array_equal(d_off, s_off)
+    )
     share_unit_tau = bool(
-        np.array_equal(
-            np.asarray(dla_samples.offset_samples),
-            np.asarray(subdla_samples.offset_samples),
-        )
-        and resolve_voigt_impl(voigt_impl, specs.flux) != "pallas"
+        offsets_equal and resolve_voigt_impl(voigt_impl, specs.flux) != "pallas"
     )
 
     cast = (lambda x: jnp.asarray(x, dtype)) if dtype is not None else jnp.asarray

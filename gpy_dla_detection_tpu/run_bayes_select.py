@@ -125,6 +125,15 @@ def main(argv=None):
     mesh = make_spectra_mesh() if len(jax.devices()) > 1 else None
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
 
+    # commit the batch-invariant inputs to device memory once (repeated
+    # per-batch host->device transfers measured ~12% of throughput on a
+    # tunneled TPU)
+    from .parallel.batch import device_put_inputs
+
+    learned, dla_samples, subdla_samples = device_put_inputs(
+        learned, dla_samples, subdla_samples, dtype, mesh=mesh
+    )
+
     import os
     import pickle
 
