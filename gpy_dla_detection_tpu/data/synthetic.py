@@ -214,3 +214,35 @@ def synthetic_z_learned_model(seed: int = 0, k: int = 5):
         redwards_mu=np.float64(0.8),
         redwards_sigma=np.float64(0.3),
     )
+
+
+def synthetic_z_observation(z_true, seed: int = 0, noise: float = 0.08, k: int = 5):
+    """(ZLearnedModel, (wavelengths, flux, noise_variance, pixel_mask))
+    observation drawn from the synthetic zQSO GP at a known redshift,
+    with out-of-window pixels at the model's blue/redward levels."""
+    learned = synthetic_z_learned_model(seed=seed, k=k)
+    rng = np.random.default_rng(seed + 1000)
+    wl = 3600.0 * 10 ** (1e-4 * np.arange(4600))
+    rest = wl / (1 + z_true)
+    mu = np.interp(rest, learned.rest_wavelengths, learned.mu)
+    M = np.stack(
+        [
+            np.interp(rest, learned.rest_wavelengths, learned.M[:, i])
+            for i in range(learned.M.shape[1])
+        ],
+        axis=1,
+    )
+    out = (rest < learned.rest_wavelengths[0]) | (
+        rest > learned.rest_wavelengths[-1]
+    )
+    M[out] = 0.0
+    flux = mu + M @ rng.normal(size=M.shape[1])
+    flux[out] = np.where(
+        rest[out] < learned.rest_wavelengths[0],
+        float(learned.bluewards_mu),
+        float(learned.redwards_mu),
+    )
+    nv = np.full_like(wl, noise**2)
+    flux += noise * rng.normal(size=wl.shape)
+    pm = np.zeros(wl.shape, bool)
+    return learned, (wl, flux, nv, pm)
