@@ -347,3 +347,95 @@ def do_this_mu_examples(
         )
         save_figure(path.join(subdir, f"this_mu_{i}"))
         plt.clf()
+
+
+def do_Lya_demo(
+    observations, z_qsos, subdir: str,
+    normalization_min_lambda: float = 1310.0,
+    normalization_max_lambda: float = 1325.0,
+    zmin: float = 2.0, zmax: float = 6.0, nbins: int = 9,
+    num_spec_bin: int = 1, dlambda: float = 2.5, seed: int = 1,
+):
+    """Lyman-alpha forest evolution demo: one representative spectrum
+    per quasar-redshift bin, normalized redward of Lya and smoothed,
+    overplotted in the rest frame
+    (reference: make_multi_dla_plots.py:584-655 do_Lya_demo — there the
+    spectra are downloaded on demand; here the caller supplies
+    ``observations`` as (wavelengths, flux, noise_variance, pixel_mask)
+    tuples aligned with ``z_qsos``).
+    """
+    plt = _plt()
+    os.makedirs(subdir, exist_ok=True)
+    z_qsos = np.asarray(z_qsos)
+    zbins = np.linspace(zmin, zmax, num=nbins + 1)
+    rng = np.random.RandomState(seed)
+    cmap = plt.get_cmap("viridis")
+
+    plt.figure(figsize=(16, 5))
+    plotted = 0
+    for i, (z1, z2) in enumerate(zip(zbins[:-1], zbins[1:])):
+        nspecs = np.where((z_qsos > z1) & (z_qsos < z2))[0]
+        if nspecs.size == 0:
+            continue
+        zcent = 0.5 * (z1 + z2)
+        for nspec in rng.choice(nspecs, size=min(num_spec_bin, nspecs.size),
+                                replace=False):
+            wl, flux, nv, pm = observations[nspec]
+            rest = np.asarray(wl) / (1.0 + z_qsos[nspec])
+            flux = np.asarray(flux, np.float64)
+            inds = (
+                (rest >= normalization_min_lambda)
+                & (rest <= normalization_max_lambda)
+                & ~np.asarray(pm, bool)
+            )
+            med = np.nanmedian(flux[inds]) if inds.any() else np.nan
+            if not np.isfinite(med) or med == 0:
+                continue
+            flux = flux / med
+            grid = np.arange(rest.min(), rest.max(), step=dlambda)
+            smoothed = np.interp(grid, rest, flux)
+            plt.plot(
+                grid, smoothed, color=cmap((i + 1) / nbins), lw=1.5,
+                label=f"zcent={zcent:.3g}", alpha=0.8,
+            )
+            plotted += 1
+    plt.xlabel(r"rest wavelength $\lambda_\mathrm{rest}$ [$\AA$]")
+    plt.ylabel("normalized flux")
+    plt.ylim(-1, 8)
+    if plotted:
+        plt.legend()
+    save_figure(path.join(subdir, "Lya_forest_demo"))
+    plt.clf()
+    return plotted
+
+
+def check_skylines(
+    observations, map_z_dlas,
+    min_flux_thresh: float = 8.0, min_z_separation: float = 0.01,
+):
+    """Flag MAP DLA detections that coincide with skyline-like flux
+    glitches: pixels with a negative spike whose implied Lya absorber
+    redshift lands within ``min_z_separation`` of a MAP z_dla
+    (reference: make_multi_dla_plots.py:657-691 check_skylines).
+
+    :param observations: list of (wavelengths, flux, ...) per spectrum.
+    :param map_z_dlas: (Q, ...) MAP absorber redshifts (NaN padded).
+    :return: list of (spectrum index, z_dla) suspicious detections.
+    """
+    lya = 1215.6701
+    suspects = []
+    map_z_dlas = np.asarray(map_z_dlas)
+    for nspec, obs in enumerate(observations):
+        wl = np.asarray(obs[0], np.float64)
+        flux = np.asarray(obs[1], np.float64)
+        jump = np.abs(flux[:-1] - flux[1:]) > min_flux_thresh
+        neg = flux[:-1] < -min_flux_thresh
+        glitch = jump & neg
+        if not glitch.any():
+            continue
+        z_glitch = wl[:-1][glitch] / lya - 1.0
+        z_dlas = map_z_dlas[nspec].ravel()
+        for z_dla in z_dlas[np.isfinite(z_dlas)]:
+            if np.any(np.abs(z_glitch - z_dla) < min_z_separation):
+                suspects.append((nspec, float(z_dla)))
+    return suspects

@@ -474,3 +474,38 @@ def test_meanflux_and_lyseries_drivers(tmp_path):
     import os
     made = set(os.listdir(tmp_path))
     assert {"meanflux_5.pdf", "test_num_lines_5.pdf"} <= made
+
+
+def test_lya_demo_and_skyline_check(tmp_path):
+    """do_Lya_demo renders one spectrum per z bin; check_skylines flags
+    a MAP detection sitting on a synthetic skyline glitch
+    (reference: make_multi_dla_plots.py:584-691)."""
+    from gpy_dla_detection_tpu.analysis import paper_plots_multi as pm
+
+    rng = np.random.default_rng(0)
+    observations, z_qsos = [], []
+    for i, z in enumerate([2.3, 3.1, 4.2]):
+        wl = 3600.0 * 10 ** (1e-4 * np.arange(3000))
+        flux = np.ones_like(wl) + 0.05 * rng.normal(size=wl.size)
+        pm_mask = np.zeros(wl.size, bool)
+        observations.append((wl, flux, np.full_like(wl, 0.01), pm_mask))
+        z_qsos.append(z)
+    plotted = pm.do_Lya_demo(
+        observations, z_qsos, str(tmp_path), zmin=2.0, zmax=5.0, nbins=3
+    )
+    assert plotted == 3
+    import os
+    assert "Lya_forest_demo.pdf" in os.listdir(tmp_path)
+
+    # inject a skyline glitch at a known pixel of spectrum 1
+    wl, flux, nv, msk = observations[1]
+    glitch_px = 1200
+    flux = flux.copy()
+    flux[glitch_px] = -12.0
+    observations[1] = (wl, flux, nv, msk)
+    z_glitch = wl[glitch_px] / 1215.6701 - 1.0
+    map_z = np.full((3, 2), np.nan)
+    map_z[1, 0] = z_glitch + 0.002   # on the glitch
+    map_z[2, 0] = 3.0                # clean spectrum
+    suspects = pm.check_skylines(observations, map_z)
+    assert suspects == [(1, float(map_z[1, 0]))]
