@@ -176,3 +176,52 @@ def test_run_civ_cli(tmp_path, monkeypatch):
     )
     with h5py.File(out, "r") as f:
         assert f["p_civs"][0] > 0.99, f["p_civs"][()]
+
+
+def test_run_bayes_select_checkpoint_resume(tmp_path, monkeypatch):
+    """--checkpoint writes per-batch part files; a rerun resumes from
+    them without touching the spectra (here they are DELETED between
+    runs) and reproduces the catalog exactly."""
+    import os
+
+    import h5py
+
+    from gpy_dla_detection_tpu import run_bayes_select
+
+    params = Parameters(num_dla_samples=50)
+    learned = synthetic_learned_model(params)
+    files, zs = [], [2.9, 3.15, 3.3]
+    for i, z in enumerate(zs):
+        wl, fx, nv, pm = synthetic_observation(
+            params, learned, z, seed=i, dlas=[(z - 0.3, 21.2)] if i else None
+        )
+        path = str(tmp_path / f"spec-0005-55555-{i:04d}.fits")
+        _write_speclite(
+            path,
+            fx.astype(np.float32),
+            np.log10(wl).astype(np.float32),
+            (1.0 / nv).astype(np.float32),
+            np.where(pm, 1 << 24, 0).astype(np.int32),
+        )
+        files.append(path)
+
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "ckpt.h5")
+    argv = [
+        "--qso_list", *files, "--z_qso_list", *[str(z) for z in zs],
+        "--max_dlas", "1", "--num-samples", "50", "--dtype", "float64",
+        "--batch-size", "2", "--checkpoint", "--output", out,
+    ]
+    run_bayes_select.main(argv)
+    parts = [f for f in os.listdir(tmp_path) if ".part" in f]
+    assert len(parts) == 2  # two batches of size 2, 1
+    with h5py.File(out, "r") as f:
+        first = f["p_dlas"][()]
+
+    # resume must not need the spectra at all
+    for path in files:
+        os.remove(path)
+    os.remove(out)
+    run_bayes_select.main(argv)
+    with h5py.File(out, "r") as f:
+        np.testing.assert_array_equal(f["p_dlas"][()], first)
