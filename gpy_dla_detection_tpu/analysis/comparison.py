@@ -100,6 +100,33 @@ def match_truth(ids, truth: TruthCatalog, lnhi_min: float = 20.3):
     return has_dla, counts, z_lists, n_lists
 
 
+def query_least_num_dlas(model_posteriors, p_thresh: float = 0.98,
+                         sub_dla: int = 1):
+    """Predicted DLA count per sightline by the reference's downward
+    scan: starting from the largest-k model, return k as soon as the
+    (renormalized) posterior of the current top model exceeds
+    ``p_thresh``; else drop that model, renormalize, and continue;
+    0 if nothing passes (reference: qso_loader.py:832-858
+    downward_model / query_least_num_dlas).
+
+    Vectorized over the catalog: ``model_posteriors`` is (Q, M) with
+    columns [null, (sub-DLA...), DLA(1), ..., DLA(tot)].
+    """
+    mp = np.asarray(model_posteriors, np.float64)
+    tot = mp.shape[1] - 1 - sub_dla
+    counts = np.zeros(mp.shape[0], np.int64)
+    decided = np.zeros(mp.shape[0], bool)
+    cur = mp.copy()
+    for i in range(tot):
+        k = tot - i
+        hit = ~decided & (cur[:, -1] > p_thresh)
+        counts[hit] = k
+        decided |= hit
+        cur = cur[:, :-1]
+        cur = cur / np.maximum(cur.sum(axis=1, keepdims=True), 1e-300)
+    return counts
+
+
 @dataclass
 class ComparisonResult:
     fpr: np.ndarray
@@ -121,15 +148,28 @@ def compare_catalogs(
     p_thresh: float = 0.9,
     sub_dla: int = 1,
     max_k: int = 4,
+    count_mode: str = "least",
+    p_thresh_count: float = 0.98,
 ) -> ComparisonResult:
     """Full comparison: ROC against sightline truth, count confusion,
     and MAP parameter residuals for matched detections
-    (reference: qso_loader.py:618-831, 878-968)."""
+    (reference: qso_loader.py:618-831, 878-968).
+
+    :param count_mode: how the predicted DLA count is derived from the
+        model posteriors — "least" (the reference's downward threshold
+        scan at ``p_thresh_count``, qso_loader.py:839-858) or "argmax"
+        (MAP model index, qso_loader.py:285-302).
+    """
     has_dla, counts, z_lists, n_lists = match_truth(ids, truth, lnhi_min)
     fpr, tpr, _, auc = roc_curve(p_dlas, has_dla)
 
     mp = np.asarray(model_posteriors)
-    pred_counts = np.maximum(np.argmax(mp, axis=1) - sub_dla, 0)
+    if count_mode == "least":
+        pred_counts = query_least_num_dlas(mp, p_thresh_count, sub_dla)
+    elif count_mode == "argmax":
+        pred_counts = np.maximum(np.argmax(mp, axis=1) - sub_dla, 0)
+    else:
+        raise ValueError(f"unknown count_mode {count_mode!r}")
     confusion = multi_dla_confusion(pred_counts, counts, max_k)
 
     # MAP residuals: nearest-absorber matching for detected sightlines

@@ -122,3 +122,34 @@ def test_truth_loaders(tmp_path):
     truth = truth_from_concordance(str(c))
     assert list(truth.ids) == [100, 200]
     np.testing.assert_allclose(truth.log_nhis[0], [20.5, 21.1])
+
+
+def test_query_least_num_dlas_matches_reference():
+    """Vectorized downward-threshold DLA counting vs the reference's
+    QSOLoader.query_least_num_dlas (driven unbound on a stub so no
+    catalog files are needed)."""
+    import types
+
+    from gpy_dla_detection_tpu.analysis.comparison import query_least_num_dlas
+
+    from .reference_oracle import import_reference
+
+    import_reference()
+    from CDDF_analysis.qso_loader import QSOLoader
+
+    rng = np.random.default_rng(0)
+    mp = rng.dirichlet(np.full(6, 0.2), size=40)  # [null, sub, DLA1..4]
+    # make some rows decisive at various k
+    mp[0] = [0.01, 0.01, 0.96, 0.01, 0.005, 0.005]
+    mp[1] = [0.005, 0.005, 0.0, 0.0, 0.0, 0.99]
+    mp[2] = [0.99, 0.002, 0.002, 0.002, 0.002, 0.002]
+
+    got = query_least_num_dlas(mp, p_thresh=0.9, sub_dla=1)
+
+    stub = types.SimpleNamespace(
+        sub_dla=1, downward_model=QSOLoader.downward_model
+    )
+    want = [
+        QSOLoader.query_least_num_dlas(stub, row.copy(), 0.9) for row in mp
+    ]
+    np.testing.assert_array_equal(got, np.asarray(want))
