@@ -19,6 +19,9 @@ import json
 
 import numpy as np
 
+# np.trapz was renamed in numpy 2.0; support both
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
+
 # per-spectrum datasets concatenated along the spectrum axis when
 # merging shards (axis 0 in this framework's writer layout)
 _PER_SPECTRUM = [
@@ -350,7 +353,7 @@ def roc_curve(p_dlas, truth):
     N = (~t).sum()
     tpr = np.concatenate([[0.0], tp / max(P, 1)])
     fpr = np.concatenate([[0.0], fp / max(N, 1)])
-    auc = float(np.trapezoid(tpr, fpr))
+    auc = float(_trapezoid(tpr, fpr))
     thresholds = np.concatenate([[np.inf], p_sorted])
     return fpr, tpr, thresholds, auc
 

@@ -548,13 +548,16 @@ class ProcessedCatalog:
         dX = np.array(
             [self.path_length(a, b) for a, b in zip(z_bins[:-1], z_bins[1:])]
         )
-        ii = dX > 0
-        dNdX = np.array(maxlike)[ii] / dX[ii]
-        dndx68 = np.array(l68)[ii] / np.vstack([dX[ii], dX[ii]]).T
-        dndx95 = np.array(l95)[ii] / np.vstack([dX[ii], dX[ii]]).T
+        # keep every bin (NaN where the searched path is zero) so the
+        # output shape is a pure function of (z_min, z_max) — bootstrap
+        # resamples must stack (get_sample_errors)
+        dX_safe = np.where(dX > 0, dX, np.nan)
+        dNdX = np.array(maxlike) / dX_safe
+        dndx68 = np.array(l68) / np.vstack([dX_safe, dX_safe]).T
+        dndx95 = np.array(l95) / np.vstack([dX_safe, dX_safe]).T
         z_cent = 0.5 * (z_bins[:-1] + z_bins[1:])
-        xerrs = (z_cent[ii] - z_bins[:-1][ii], z_bins[1:][ii] - z_cent[ii])
-        return z_cent[ii], dNdX, dndx68, dndx95, xerrs
+        xerrs = (z_cent - z_bins[:-1], z_bins[1:] - z_cent)
+        return z_cent, dNdX, dndx68, dndx95, xerrs
 
     def _omega_confidence_intervals(self, lnhi_bins, lred, ured, tailprob=5e-4):
         """Confidence interval on the total NHI in DLAs over a redshift
@@ -628,10 +631,19 @@ class ProcessedCatalog:
         conversion = protonmass / light * h100 / rho_crit(hubble)
         lnhi_bins = np.linspace(20.3, 23.0, num=lnhi_nbins + 1)
 
+        # keep every bin (NaN rows where the searched path is zero) so
+        # the output shape is a pure function of (z_min, z_max) and
+        # bootstrap resamples stack (get_sample_errors)
         z_cent, omega, omega68, omega95, xerrs = [], [], [], [], []
         for zz in range(nbins):
             dX = self.path_length(z_bins[zz], z_bins[zz + 1])
+            z_c = 0.5 * (z_bins[zz] + z_bins[zz + 1])
+            z_cent.append(z_c)
+            xerrs.append((z_c - z_bins[zz], z_bins[zz + 1] - z_c))
             if dX == 0.0:
+                omega.append(np.nan)
+                omega68.append(np.full(2, np.nan))
+                omega95.append(np.full(2, np.nan))
                 continue
             nhi_like, nhi_68, nhi_95 = self._omega_confidence_intervals(
                 lnhi_bins, z_bins[zz], z_bins[zz + 1]
@@ -639,9 +651,6 @@ class ProcessedCatalog:
             omega.append(conversion * nhi_like / dX)
             omega68.append(conversion * np.asarray(nhi_68) / dX)
             omega95.append(conversion * np.asarray(nhi_95) / dX)
-            z_c = 0.5 * (z_bins[zz] + z_bins[zz + 1])
-            z_cent.append(z_c)
-            xerrs.append((z_c - z_bins[zz], z_bins[zz + 1] - z_c))
         return (
             np.asarray(z_cent),
             np.asarray(omega),
@@ -741,11 +750,15 @@ class ProcessedCatalog:
             n_here = int(round(ii.size / Q * nspec))
             draws.append(ii[rng.integers(0, ii.size, n_here)])
         inds = np.concatenate(draws) if draws else np.array([], int)
-        # rounding can leave the sample short/long: top up / trim
+        # rounding can leave the sample short/long: top up with
+        # catalog-uniform draws (proportional to strata in expectation)
+        # and trim AFTER a permutation — a tail trim would remove draws
+        # exclusively from the last (highest-z) stratum, defeating the
+        # stratification
         if inds.size < nspec:
             extra = rng.integers(0, Q, nspec - inds.size)
             inds = np.concatenate([inds, extra])
-        self._resample = inds[:nspec]
+        self._resample = rng.permutation(inds)[:nspec]
 
     def get_sample_errors(self, z_min=2.0, z_max=5.0, nsample=5, rng=None):
         """Bootstrap percentiles of dN/dX and Omega_DLA over ``nsample``
@@ -769,23 +782,30 @@ class ProcessedCatalog:
             self.resample(False)
         dndx_sample = np.array(dndx_sample)
         om_sample = np.array(om_sample)
-        return {
-            "dndx_sample": np.median(dndx_sample, axis=0),
-            "dndx_68": np.array(
-                [np.percentile(dndx_sample, 84, axis=0),
-                 np.percentile(dndx_sample, 16, axis=0)]
-            ),
-            "dndx_95": np.array(
-                [np.percentile(dndx_sample, 97.5, axis=0),
-                 np.percentile(dndx_sample, 2.5, axis=0)]
-            ),
-            "omega_sample": np.median(om_sample, axis=0),
-            "omega_68": np.array(
-                [np.percentile(om_sample, 84, axis=0),
-                 np.percentile(om_sample, 16, axis=0)]
-            ),
-            "omega_95": np.array(
-                [np.percentile(om_sample, 97.5, axis=0),
-                 np.percentile(om_sample, 2.5, axis=0)]
-            ),
-        }
+        # nan-aware reductions: a resample can leave individual z bins
+        # with zero searched path (NaN rows from line_density /
+        # omega_dla_cddf)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            return {
+                "dndx_sample": np.nanmedian(dndx_sample, axis=0),
+                "dndx_68": np.array(
+                    [np.nanpercentile(dndx_sample, 84, axis=0),
+                     np.nanpercentile(dndx_sample, 16, axis=0)]
+                ),
+                "dndx_95": np.array(
+                    [np.nanpercentile(dndx_sample, 97.5, axis=0),
+                     np.nanpercentile(dndx_sample, 2.5, axis=0)]
+                ),
+                "omega_sample": np.nanmedian(om_sample, axis=0),
+                "omega_68": np.array(
+                    [np.nanpercentile(om_sample, 84, axis=0),
+                     np.nanpercentile(om_sample, 16, axis=0)]
+                ),
+                "omega_95": np.array(
+                    [np.nanpercentile(om_sample, 97.5, axis=0),
+                     np.nanpercentile(om_sample, 2.5, axis=0)]
+                ),
+            }

@@ -16,22 +16,16 @@ from os import path
 
 import numpy as np
 
+# np.trapz was renamed in numpy 2.0; support both
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
+
 from .comparison import ComparisonResult
 from .external import (
     ExternalEstimations,
     column_density_function_external,
     line_density_external,
 )
-from .paper_plots import _plot_cddf, _plot_line_density, save_figure
-
-
-def _plt():
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    return plt
+from .paper_plots import _plot_cddf, _plot_line_density, _plt, save_figure
 
 
 # ---------------------------------------------------------------------------
@@ -103,7 +97,7 @@ def multi_roc(model_posteriors, truth_counts, sub_dla: int = 1, max_k: int = 4):
     fp = np.cumsum(~labels)
     tpr = tp / max(tp[-1], 1)
     fpr = fp / max(fp[-1], 1)
-    auc = float(np.trapezoid(tpr, fpr))
+    auc = float(_trapezoid(tpr, fpr))
     return fpr, tpr, auc
 
 

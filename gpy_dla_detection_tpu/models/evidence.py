@@ -10,9 +10,10 @@ subdla_gp.py:90-222):
 * the single-absorber profiles are computed once and levels k >= 2
   reuse them through gathered elementwise products (the reference
   recomputes every Voigt profile for every chained absorber);
-* ``np.random.choice`` importance resampling becomes
-  ``jax.random.categorical`` under an explicit PRNG key
-  (reference: dla_gp.py:209-218);
+* ``np.random.choice`` importance resampling becomes an explicit-PRNG
+  inverse-CDF draw (uniforms against the cumulative weights via the
+  chunked count in ops/interp.py — ``jax.random.categorical`` lowers to
+  an S x S gumbel argmax; reference: dla_gp.py:209-218);
 * NaN-driven control flow (min-z-separation masking, early exit on
   underflow) becomes mask arithmetic (reference: dla_gp.py:164-206).
 

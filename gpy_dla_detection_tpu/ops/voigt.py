@@ -201,7 +201,12 @@ def unit_lyman_optical_depth(
     """
     z_absorber = jnp.asarray(z_absorber)
     impl = resolve_voigt_impl(impl, wavelengths)
-    if impl == "windowed" and z_absorber.ndim == 1 and wavelengths.ndim == 1:
+    if (
+        impl == "windowed"
+        and z_absorber.ndim == 1
+        and wavelengths.ndim == 1
+        and sigma == C.THERMAL_SIGMA_CGS
+    ):
         return _unit_lyman_series_optical_depth_windowed(
             wavelengths, z_absorber, num_lines, sigma
         )
@@ -236,24 +241,26 @@ def voigt_absorption(
     :param nhi: (...,) HI column densities [cm^-2].
     :param z_absorber: (...,) absorber redshifts.
     :param impl: evaluation strategy (static): None = auto (import-time
-        default), "exact" = full Weideman+CF blend (production default),
-        "windowed" = static-chunk windowed correction, "pallas" = fused
-        kernel.  The fast paths lost end to end on v5e and stay opt-in
-        (PERFORMANCE.md); both require 1-D inputs / default sigma and
-        fall back to "exact" otherwise.
+        default — "windowed" on TPU/f32 since round 2, agreeing with
+        "exact" to ~1e-4 relative in log evidence), "exact" = full
+        Weideman+CF blend at every pixel (the conformance path),
+        "windowed" = K=1 far-field CF plus the exact blend on a
+        chunk-aligned 256-px window per line, "pallas" = fused kernel
+        (lost on v5e, kept opt-in — PERFORMANCE.md).  The fast paths
+        require 1-D inputs and the default thermal sigma (the window
+        sizing assumes it) and fall back to "exact" otherwise.
     :return: (..., P - 6) if ``broadening`` else (..., P).
     (reference: gpy_dla_detection/voigt.py:251-322)
     """
     nhi = jnp.asarray(nhi)
     z_absorber = jnp.asarray(z_absorber)
     impl = resolve_voigt_impl(impl, wavelengths)
-    structured = z_absorber.ndim == 1 and wavelengths.ndim == 1
-    if (
-        impl == "pallas"
-        and structured
-        and broadening
+    structured = (
+        z_absorber.ndim == 1
+        and wavelengths.ndim == 1
         and sigma == C.THERMAL_SIGMA_CGS
-    ):
+    )
+    if impl == "pallas" and structured and broadening:
         from .voigt_pallas import voigt_absorption_pallas
 
         return voigt_absorption_pallas(wavelengths, nhi, z_absorber, num_lines)
@@ -287,7 +294,12 @@ def voigt_absorption_lls(
     nhi = jnp.asarray(nhi)
     z_absorber = jnp.asarray(z_absorber)
     impl = resolve_voigt_impl(impl, wavelengths)
-    if impl == "windowed" and z_absorber.ndim == 1 and wavelengths.ndim == 1:
+    if (
+        impl == "windowed"
+        and z_absorber.ndim == 1
+        and wavelengths.ndim == 1
+        and sigma == C.THERMAL_SIGMA_CGS
+    ):
         tau = nhi[..., None] * _unit_lyman_series_optical_depth_windowed(
             wavelengths, z_absorber, num_lines, sigma
         )

@@ -179,33 +179,45 @@ def main(argv=None):
         return start, specs, kept, errors
 
     results = []
-    spectra = []  # retained only for --plot-figures
+    spectra_by_idx = {}  # retained only for --plot-figures
     kept_all, all_exceptions = [], []
     key = jax.random.PRNGKey(args.seed)
     keys = {s: k for s, k in zip(starts, jax.random.split(key, len(starts)))}
     t0 = time.time()
-    done = 0
+    done = computed = 0
     for start, specs, kept, errors in prefetch_map(load_batch, starts):
+        # step-granular checkpoint/resume: every batch's results persist
+        # to a part file together with its kept indices and failures;
+        # reruns skip completed batches entirely (a crash reruns at most
+        # the in-flight batch) and reproduce the original run's output
+        if checkpoint and os.path.exists(part_path(start)):
+            with open(part_path(start), "rb") as f:
+                batch_kept, batch_errors, batch_results = pickle.load(f)
+            # the part file is the source of truth for this batch: any
+            # errors from the (optional, --plot-figures-only) re-read
+            # are ignored — its spectra were already cataloged
+            for idx, filename, msg in batch_errors:
+                all_exceptions.append(idx)
+            if specs is not None and args.plot_figures:
+                spectra_by_idx.update(zip(kept, specs))
+            results.extend(batch_results)
+            kept_all.extend(batch_kept)
+            done += len(batch_results)
+            continue
+
         for idx, filename, msg in errors:
             print(f"[skip] {filename}: {msg}")
             metrics.failure(filename, msg)
             all_exceptions.append(idx)
         if specs is not None and args.plot_figures:
-            spectra.extend(specs)
-
-        # step-granular checkpoint/resume: every batch's results persist
-        # to a part file; reruns skip completed batches (a crash reruns
-        # at most the in-flight batch)
-        if checkpoint and os.path.exists(part_path(start)):
-            with open(part_path(start), "rb") as f:
-                batch_kept, batch_results = pickle.load(f)
-            results.extend(batch_results)
-            kept_all.extend(batch_kept)
-            done += len(batch_results)
-            continue
+            spectra_by_idx.update(zip(kept, specs))
         kept_all.extend(kept)
         if not specs:
+            if checkpoint:
+                with open(part_path(start), "wb") as f:
+                    pickle.dump((kept, errors, []), f)
             continue
+        t_batch = time.time()
         batch_results = process_batch(
             learned,
             specs,
@@ -220,17 +232,18 @@ def main(argv=None):
         )
         if checkpoint:
             with open(part_path(start), "wb") as f:
-                pickle.dump((kept, batch_results), f)
+                pickle.dump((kept, errors, batch_results), f)
         results.extend(batch_results)
         done += len(batch_results)
-        rate = done / (time.time() - t0)
+        computed += len(batch_results)
+        rate = computed / (time.time() - t0)
         print(f"[{done}/{total}] {rate:.2f} spectra/sec")
         metrics.batch(
             index=start // args.batch_size,
             size=len(specs),
             done=done,
             total=total,
-            seconds=time.time() - t0,
+            seconds=time.time() - t_batch,
         )
 
     qso_list = [args.qso_list[i] for i in kept_all]
@@ -248,9 +261,18 @@ def main(argv=None):
         from .models.learned import build_spectrum_model
         from .plotting import plot_dla_model
 
+        import matplotlib.pyplot as _plt
+
         plot_dir = args.output + "_figures"
         _os.makedirs(plot_dir, exist_ok=True)
-        for r, spec, name in zip(results, spectra, qso_list):
+        # results and kept_all are aligned; spectra are looked up by
+        # catalog index so a resumed batch whose spectrum file can no
+        # longer be read simply skips its figure (never misaligns)
+        for r, idx, name in zip(results, kept_all, qso_list):
+            spec = spectra_by_idx.get(idx)
+            if spec is None:
+                print(f"[figures] {name}: spectrum unavailable, skipped")
+                continue
             model = build_spectrum_model(learned.astype(np.float64), spec, params)
             z_s = float(spec.min_z_dla) + (
                 float(spec.max_z_dla) - float(spec.min_z_dla)
@@ -268,6 +290,7 @@ def main(argv=None):
             )
             base = _os.path.splitext(_os.path.basename(name))[0]
             fig.savefig(_os.path.join(plot_dir, f"{base}.png"), dpi=100)
+            _plt.close(fig)  # survey-scale runs: don't retain figures
         print(f"wrote figures to {plot_dir}/")
 
     write_catalog(

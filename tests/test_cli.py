@@ -208,20 +208,24 @@ def test_run_bayes_select_checkpoint_resume(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     out = str(tmp_path / "ckpt.h5")
     argv = [
-        "--qso_list", *files, "--z_qso_list", *[str(z) for z in zs],
+        "--qso_list", *files, "gone.fits",
+        "--z_qso_list", *[str(z) for z in zs], "3.4",
         "--max_dlas", "1", "--num-samples", "50", "--dtype", "float64",
         "--batch-size", "2", "--checkpoint", "--output", out,
     ]
     run_bayes_select.main(argv)
     parts = [f for f in os.listdir(tmp_path) if ".part" in f]
-    assert len(parts) == 2  # two batches of size 2, 1
+    assert len(parts) == 2  # two batches of size 2, 2 (one file missing)
     with h5py.File(out, "r") as f:
         first = f["p_dlas"][()]
+        assert list(f["all_exceptions"][()]) == [3]
 
-    # resume must not need the spectra at all
+    # resume must not need the spectra at all, and must reproduce the
+    # original run's failure record from the part files
     for path in files:
         os.remove(path)
     os.remove(out)
     run_bayes_select.main(argv)
     with h5py.File(out, "r") as f:
         np.testing.assert_array_equal(f["p_dlas"][()], first)
+        assert list(f["all_exceptions"][()]) == [3]
