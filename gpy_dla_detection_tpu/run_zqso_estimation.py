@@ -41,6 +41,16 @@ def main(argv=None):
         print("[warn] no --learned-file given; using a synthetic zQSO model")
         learned = synthetic_z_learned_model()
 
+    # commit the learned model to the device once — per-dispatch
+    # host->device re-transfer of numpy inputs costs real throughput on
+    # a tunneled TPU (PERFORMANCE.md)
+    import jax
+    import jax.numpy as jnp
+
+    learned = jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(np.asarray(x))), learned
+    )
+
     z_maps = []
     t0 = time.time()
     for i, fname in enumerate(args.qso_list):
