@@ -30,6 +30,20 @@ from .logmvn import LOG_2PI
 # the (N, k^2) pair basis) comfortably under the ~16 MB VMEM budget —
 # oversized blocks send the Mosaic allocator into pathological search.
 BLOCK_S = 256
+# pixel count the BLOCK_S=256 budget was sized for; wider windows scale
+# the block down so BS * N stays within the same VMEM envelope
+_BLOCK_BUDGET_N = 1280
+
+
+def _block_s(n: int) -> int:
+    """Sample-block size for an N-pixel problem: BLOCK_S at the budget
+    width, scaled down (8-aligned, min 8) for wider windows so the
+    kernel's VMEM stack stays within the envelope validated at
+    256 x 1280."""
+    if n <= _BLOCK_BUDGET_N:
+        return BLOCK_S
+    scaled = BLOCK_S * _BLOCK_BUDGET_N // n
+    return max(8, (scaled // 8) * 8)
 
 
 def _make_kernel(k: int, has_extra: bool):
@@ -153,8 +167,9 @@ def batched_log_mvnpdf_pallas(
     second (S, N) absorption factor multiplied in VMEM.
     """
     S, N = absorption.shape
-    n_blocks = -(-S // BLOCK_S)
-    S_pad = n_blocks * BLOCK_S
+    block_s = _block_s(N)
+    n_blocks = -(-S // block_s)
+    S_pad = n_blocks * block_s
     if S_pad != S:
         pad = lambda x: jnp.concatenate(
             [x, jnp.ones((S_pad - S, N), x.dtype)], axis=0
@@ -174,7 +189,7 @@ def batched_log_mvnpdf_pallas(
     )  # (5, N)
 
     blk_spec = pl.BlockSpec(
-        (BLOCK_S, N), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (block_s, N), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     in_specs = [
         pl.BlockSpec((5, N), lambda i: (0, 0), memory_space=pltpu.VMEM),  # rows
@@ -194,7 +209,7 @@ def batched_log_mvnpdf_pallas(
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((BLOCK_S, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(jax.ShapeDtypeStruct((S_pad, 1), jnp.float32),),
         interpret=interpret,
