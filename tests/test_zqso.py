@@ -102,3 +102,52 @@ def test_batch_redshift_accuracy():
         z_map, _, _ = inference_z_qso(learned, spec, params)
         hits += abs(z_map - z_true) < 0.5
     assert hits == n, hits
+
+
+def test_shift_scan_matches_exact_scan():
+    """The log-resampled shift scan (no per-z gathers) must agree with
+    the exact scan near the evidence peak and pick the same MAP z."""
+    import jax.numpy as jnp
+
+    from gpy_dla_detection_tpu.models.zqso import (
+        detect_pixel_dlog,
+        inference_z_qso,
+        prepare_z_spectrum,
+    )
+    from gpy_dla_detection_tpu.params import ZParameters
+
+    params = ZParameters(num_zqso_samples=800)
+    learned = _z_learned()
+    wl, flux, nv, pm = _observation(learned, z_true=3.2, seed=4)
+    assert abs(detect_pixel_dlog(wl) - 1e-4) < 1e-7
+    spec = prepare_z_spectrum(wl, flux, nv, pm, 5632)
+
+    z_s, lls_s, zg = inference_z_qso(learned, spec, params, method="shift")
+    z_e, lls_e, _ = inference_z_qso(learned, spec, params, method="exact")
+    assert z_s == z_e
+    assert abs(z_s - 3.2) < 0.05
+
+    fin = np.isfinite(lls_e) & np.isfinite(lls_s)
+    peak = np.nanargmax(lls_e)
+    near = fin & (np.abs(zg - zg[peak]) < 0.2)
+    # resample error near the peak is orders of magnitude below the
+    # peak's margin over the rest of the grid
+    margin = lls_e[peak] - np.nanmax(
+        np.where(np.abs(zg - zg[peak]) > 0.2, np.where(fin, lls_e, -np.inf), -np.inf)
+    )
+    assert np.nanmax(np.abs(lls_s - lls_e)[near]) < 0.01 * margin
+
+
+def test_detect_pixel_dlog_rejects_nonuniform():
+    from gpy_dla_detection_tpu.models.zqso import detect_pixel_dlog
+
+    wl = 3600.0 * 10 ** (1e-4 * np.arange(1000))
+    assert detect_pixel_dlog(wl) is not None
+    # linear grid is not log-uniform
+    assert detect_pixel_dlog(np.linspace(3600, 9000, 1000)) is None
+    # padded tail (zero diffs) is tolerated
+    wl_padded = np.concatenate([wl, np.full(64, wl[-1])])
+    assert detect_pixel_dlog(wl_padded) is not None
+    # but interior duplicates are not
+    wl_bad = wl.copy(); wl_bad[500] = wl_bad[499]
+    assert detect_pixel_dlog(wl_bad) is None
