@@ -225,10 +225,15 @@ def sample_z_qsos(num_samples: int, z_qso_min: float = 2.14, z_qso_max: float = 
 
 
 class ZScanTable(NamedTuple):
-    """Log-uniformly resampled learned model for the shift scan."""
+    """Log-uniformly resampled learned model for the shift scan,
+    stored strided: row r, column c holds table entry ``r*oversample +
+    c`` with one extra wrap column (``c == oversample`` duplicates the
+    next row's first entry), so the two entries pixel p needs —
+    ``s0 + oversample*p`` and its +1 neighbor — are one (P, 2)
+    dynamic_slice at (s0 // oversample, s0 % oversample)."""
 
-    mu: jnp.ndarray  # (T,)
-    M: jnp.ndarray  # (T, k)
+    mu: jnp.ndarray  # (R, oversample + 1)
+    M: jnp.ndarray  # (R, oversample + 1, k)
 
 
 def build_scan_table(
@@ -251,15 +256,24 @@ def build_scan_table(
     hi_rest = max(rest[-1], wl_bounds[1] / (1.0 + z_min)) * 1.001
     log_x0 = np.log10(lo_rest)
     T = int(np.ceil((np.log10(hi_rest) - log_x0) / dlog)) + 8 * oversample
-    grid = 10.0 ** (log_x0 + dlog * np.arange(T))
+    T = -(-T // oversample) * oversample  # whole strided rows
+    grid = 10.0 ** (log_x0 + dlog * np.arange(T + 1))
     mu_t = np.interp(grid, rest, np.asarray(learned.mu, np.float64))
     M = np.asarray(learned.M, np.float64)
     M_t = np.stack(
         [np.interp(grid, rest, M[:, j]) for j in range(M.shape[1])], axis=1
     )
-    return ZScanTable(mu=jnp.asarray(mu_t), M=jnp.asarray(M_t)), float(
-        log_x0
-    ), float(dlog)
+
+    def stride_view(flat):
+        # (T+1[, k]) -> (R, oversample + 1[, k]) with the wrap column
+        R = T // oversample
+        main = flat[:T].reshape((R, oversample) + flat.shape[1:])
+        wrap = flat[oversample::oversample][:R][:, None]
+        return np.concatenate([main, wrap], axis=1)
+
+    return ZScanTable(
+        mu=jnp.asarray(stride_view(mu_t)), M=jnp.asarray(stride_view(M_t))
+    ), float(log_x0), float(dlog)
 
 
 def detect_pixel_dlog(wavelengths, rtol: float = 0.05):
@@ -298,7 +312,6 @@ def z_log_evidences_shift(
     """log p(D | z) over the grid via the shift scan (see above)."""
     Z = z_grid.shape[0]
     P = spec.wavelengths.shape[0]
-    L = P * oversample
     n_chunks = -(-Z // chunk_size)
     pad = n_chunks * chunk_size - Z
     z_padded = jnp.concatenate([z_grid, jnp.full((pad,), z_grid[-1], z_grid.dtype)])
@@ -306,17 +319,18 @@ def z_log_evidences_shift(
 
     sorted_aux = _sorted_flux_view(spec)
     log_wl0 = jnp.log10(spec.wavelengths[0])
+    k = table.M.shape[-1]
 
     def one(z):
         s_real = (log_wl0 - jnp.log10(1.0 + z) - log_x0) / dlog
         s0 = jnp.floor(s_real).astype(jnp.int32)
         frac = (s_real - s0).astype(table.mu.dtype)
-        r = jax.lax.dynamic_slice(table.mu, (s0,), (L,)).reshape(P, oversample)
+        w = s0 // oversample
+        c = s0 - w * oversample
+        zero = jnp.zeros((), s0.dtype)
+        r = jax.lax.dynamic_slice(table.mu, (w, c), (P, 2))  # (P, 2)
         mu = (1.0 - frac) * r[:, 0] + frac * r[:, 1]
-        k = table.M.shape[1]
-        rM = jax.lax.dynamic_slice(table.M, (s0, jnp.zeros((), s0.dtype)), (L, k)).reshape(
-            P, oversample, k
-        )
+        rM = jax.lax.dynamic_slice(table.M, (w, c, zero), (P, 2, k))
         M = (1.0 - frac) * rM[:, 0, :] + frac * rM[:, 1, :]
         return z_log_evidence(
             learned, spec, z, params, sorted_aux, interp_mu_M=(mu, M)
