@@ -236,26 +236,44 @@ class ZScanTable(NamedTuple):
     M: jnp.ndarray  # (R, oversample + 1, k)
 
 
+# the shift scan's shared configuration: table layout (oversample) and
+# observed-wavelength coverage (wl_bounds) are read by build_scan_table,
+# the coverage guard and the slice decode — ONE definition so they can
+# never desynchronize
+SCAN_OVERSAMPLE = 4
+SCAN_WL_BOUNDS = (3.0e3, 1.3e4)
+
+
 def build_scan_table(
     learned: ZLearnedModel,
     pixel_dlog: float,
-    oversample: int = 4,
+    num_pixels: int,
+    oversample: int = SCAN_OVERSAMPLE,
     z_min: float = 2.14,
     z_max: float = 6.16,
-    wl_bounds: tuple = (3.0e3, 1.3e4),
+    wl_bounds: tuple = SCAN_WL_BOUNDS,
 ):
     """Resample mu/M onto a log-uniform rest grid covering every
     (pixel, z) combination of the scan, edge-clamped outside the model
     window (those pixels are mask-excluded from the likelihood).
 
+    :param num_pixels: the PADDED pixel count P — each z slices P rows
+        starting at its shift, so the table must extend
+        ``num_pixels * pixel_dlog`` past the bluest first-pixel
+        position or ``dynamic_slice`` would silently clamp the start
+        and shift the model for every pixel.
     :return: (table, log_x0, dlog)
     """
     rest = np.asarray(learned.rest_wavelengths, np.float64)
     dlog = pixel_dlog / oversample
     lo_rest = min(rest[0], wl_bounds[0] / (1.0 + z_max)) * 0.999
-    hi_rest = max(rest[-1], wl_bounds[1] / (1.0 + z_min)) * 1.001
     log_x0 = np.log10(lo_rest)
-    T = int(np.ceil((np.log10(hi_rest) - log_x0) / dlog)) + 8 * oversample
+    # highest table entry any slice can touch: the slice starts at the
+    # FIRST pixel (<= wl_bounds[1]) and always spans the full padded
+    # P-pixel window, which can extend far past the last real pixel
+    hi_log_obs = np.log10(wl_bounds[1]) + num_pixels * pixel_dlog
+    hi_log_rest = hi_log_obs - np.log10(1.0 + z_min) + 1e-3
+    T = int(np.ceil((hi_log_rest - log_x0) / dlog)) + 8 * oversample
     T = -(-T // oversample) * oversample  # whole strided rows
     grid = 10.0 ** (log_x0 + dlog * np.arange(T + 1))
     mu_t = np.interp(grid, rest, np.asarray(learned.mu, np.float64))
@@ -276,9 +294,19 @@ def build_scan_table(
     ), float(log_x0), float(dlog)
 
 
-def detect_pixel_dlog(wavelengths, rtol: float = 0.05):
+def detect_pixel_dlog(wavelengths, max_drift: float = 0.02):
     """The per-pixel log10-wavelength step if the grid is log-uniform
-    (trailing padded pixels — zero diffs — are ignored), else None."""
+    (trailing padded pixels — zero diffs — are ignored), else None.
+
+    The step is fit from the endpoints and validated against the
+    CUMULATIVE deviation ``max |log(wl_p) - (log(wl_0) + p d)|`` — a
+    per-diff jitter bound would accept quasi-uniform grids (e.g. a
+    linear grid over a narrow band) whose accumulated drift misplaces
+    the model by many pixels.  The returned step is quantized to 1e-9
+    dex so float jitter between spectra of the same survey cannot
+    produce distinct values (each distinct value is a scan-table build
+    plus a jit recompile).
+    """
     logs = np.log10(np.asarray(wavelengths, np.float64))
     diffs = np.diff(logs)
     real = diffs > 0
@@ -288,10 +316,15 @@ def detect_pixel_dlog(wavelengths, rtol: float = 0.05):
     last_real = np.nonzero(real)[0][-1]
     if not real[: last_real + 1].all():
         return None
-    d = np.median(diffs[real])
-    if d <= 0 or np.max(np.abs(diffs[real] - d)) > rtol * d:
+    d = (logs[last_real + 1] - logs[0]) / (last_real + 1)
+    d = round(float(d), 9)
+    if d <= 0:
         return None
-    return float(d)
+    p = np.arange(last_real + 2)
+    drift = np.max(np.abs(logs[: last_real + 2] - (logs[0] + p * d)))
+    if drift > max_drift * d:
+        return None
+    return d
 
 
 @partial(
@@ -373,13 +406,13 @@ def z_log_evidences(
 _SCAN_TABLE_CACHE: dict = {}
 
 
-def _scan_table_for(learned, pixel_dlog, z_qso_min, z_qso_max):
-    key = (id(learned), round(pixel_dlog, 10), z_qso_min, z_qso_max)
+def _scan_table_for(learned, pixel_dlog, num_pixels, z_qso_min, z_qso_max):
+    key = (id(learned), pixel_dlog, num_pixels, z_qso_min, z_qso_max)
     hit = _SCAN_TABLE_CACHE.get(key)
     if hit is not None and hit[0] is learned:
         return hit[1]
     entry = build_scan_table(
-        learned, pixel_dlog, z_min=z_qso_min, z_max=z_qso_max
+        learned, pixel_dlog, num_pixels, z_min=z_qso_min, z_max=z_qso_max
     )
     _SCAN_TABLE_CACHE[key] = (learned, entry)
     if len(_SCAN_TABLE_CACHE) > 8:
@@ -402,25 +435,31 @@ def inference_z_qso(
         "auto" — shift when the grid allows it, exact otherwise.
     :return: (z_map, sample_log_likelihoods, z_grid)
     """
+    if method not in ("auto", "shift", "exact"):
+        raise ValueError(
+            f"unknown method {method!r}: expected 'auto', 'shift' or 'exact'"
+        )
     z_grid = jnp.asarray(sample_z_qsos(params.num_zqso_samples, z_qso_min, z_qso_max))
     wl_np = np.asarray(spec.wavelengths)
-    pixel_dlog = (
-        detect_pixel_dlog(wl_np) if method in ("auto", "shift") else None
-    )
-    # the shared table covers rest wavelengths for observed 3000-13000 A;
+    pixel_dlog = detect_pixel_dlog(wl_np) if method != "exact" else None
+    # the shared table covers observed wavelengths within SCAN_WL_BOUNDS;
     # anything outside falls back to the exact scan
-    if pixel_dlog is not None and (wl_np[0] < 3.0e3 or wl_np[-1] > 1.3e4):
+    if pixel_dlog is not None and (
+        wl_np[0] < SCAN_WL_BOUNDS[0] or wl_np[-1] > SCAN_WL_BOUNDS[1]
+    ):
         pixel_dlog = None
     if method == "shift" and pixel_dlog is None:
         raise ValueError(
-            "shift scan requires a log-uniform pixel grid within 3000-13000 A"
+            "shift scan requires a log-uniform pixel grid within "
+            f"{SCAN_WL_BOUNDS[0]:.0f}-{SCAN_WL_BOUNDS[1]:.0f} A"
         )
     if pixel_dlog is not None:
         table, log_x0, dlog = _scan_table_for(
-            learned, pixel_dlog, z_qso_min, z_qso_max
+            learned, pixel_dlog, wl_np.shape[0], z_qso_min, z_qso_max
         )
         lls = z_log_evidences_shift(
-            learned, table, spec, z_grid, params, log_x0, dlog, 4
+            learned, table, spec, z_grid, params, log_x0, dlog,
+            SCAN_OVERSAMPLE,
         )
     else:
         lls = z_log_evidences(learned, spec, z_grid, params)

@@ -151,3 +151,57 @@ def test_detect_pixel_dlog_rejects_nonuniform():
     # but interior duplicates are not
     wl_bad = wl.copy(); wl_bad[500] = wl_bad[499]
     assert detect_pixel_dlog(wl_bad) is None
+
+
+def test_shift_scan_low_z_edge_no_clamp():
+    """Regression: the scan table must be sized for the PADDED P-row
+    slice — previously dynamic_slice start-clamped at low z and shifted
+    the model for every pixel (z_true=2.16 came back as z_min)."""
+    from gpy_dla_detection_tpu.models.zqso import (
+        inference_z_qso,
+        prepare_z_spectrum,
+    )
+    from gpy_dla_detection_tpu.params import ZParameters
+
+    params = ZParameters(num_zqso_samples=800)
+    learned = _z_learned()
+    wl, flux, nv, pm = _observation(learned, z_true=2.16, seed=11)
+    spec = prepare_z_spectrum(wl, flux, nv, pm, 5632)
+
+    z_s, _, _ = inference_z_qso(learned, spec, params, method="shift")
+    z_e, _, _ = inference_z_qso(learned, spec, params, method="exact")
+    assert z_s == z_e, (z_s, z_e)
+    assert abs(z_s - 2.16) < 0.05, z_s
+
+
+def test_inference_method_validation():
+    import pytest
+
+    from gpy_dla_detection_tpu.models.zqso import (
+        inference_z_qso,
+        prepare_z_spectrum,
+    )
+    from gpy_dla_detection_tpu.params import ZParameters
+
+    params = ZParameters(num_zqso_samples=16)
+    learned = _z_learned()
+    wl, flux, nv, pm = _observation(learned, z_true=3.0, seed=1)
+    spec = prepare_z_spectrum(wl, flux, nv, pm, 5632)
+    with pytest.raises(ValueError, match="unknown method"):
+        inference_z_qso(learned, spec, params, method="fast")
+    # shift on a non-log-uniform grid must refuse, not silently degrade
+    spec_lin = prepare_z_spectrum(
+        np.linspace(3600, 9000, 1000), np.ones(1000), np.ones(1000),
+        np.zeros(1000, bool), 5632,
+    )
+    with pytest.raises(ValueError, match="log-uniform"):
+        inference_z_qso(learned, spec_lin, params, method="shift")
+
+
+def test_detect_pixel_dlog_rejects_cumulative_drift():
+    """A quasi-log-uniform grid (narrow-band linear) has small per-diff
+    jitter but large accumulated drift — it must be rejected."""
+    from gpy_dla_detection_tpu.models.zqso import detect_pixel_dlog
+
+    wl = np.linspace(6000.0, 6300.0, 3000)  # dlog varies ~5% end to end
+    assert detect_pixel_dlog(wl) is None
