@@ -272,6 +272,18 @@ def batch_evidences(
 
         specs = astype(specs, dtype)
         learned = learned.astype(dtype)
+    else:
+        # dtype=None means "inputs are already consistently typed" (the
+        # device_put_inputs configuration); mixing a committed-f32 model
+        # with f64 spectra silently degrades the evidences
+        spec_dt = jnp.result_type(specs.flux)
+        learned_dt = jnp.result_type(learned.mu)
+        if spec_dt != learned_dt:
+            raise TypeError(
+                f"spectra are {spec_dt} but the learned model is "
+                f"{learned_dt}; pass dtype= or commit both with "
+                "device_put_inputs and cast the spectra to match"
+            )
 
     # the DLA and subDLA sample sets share their redshift offsets
     # (reference: multi_dlas/set_lls_parameters.m:22,59), so the

@@ -252,3 +252,42 @@ def test_injected_dla_detected(setup):
         if i % 2:
             z_true = [2.9, 3.1, 3.3, 3.5, 2.8][i] - 0.3
             assert abs(r.map_z_dlas[0, 0] - z_true) < 0.02, r.map_z_dlas[0]
+
+
+def test_device_put_inputs_mesh_matches_host_inputs(setup):
+    """device_put_inputs (the drivers' device-committed configuration)
+    must be transparent: committed inputs through the sharded path give
+    the same results as host numpy inputs, and the shared-offsets
+    buffer is detected by identity."""
+    from gpy_dla_detection_tpu.parallel.batch import device_put_inputs
+
+    params, learned, prior, dla_s, sub_s, spectra = setup
+    key = jax.random.PRNGKey(5)
+
+    plain = process_batch(
+        learned, spectra, dla_s, sub_s, prior, params, key, MAX_DLAS,
+        mesh=None, dtype=np.float32,
+    )
+
+    mesh = make_spectra_mesh(jax.devices("cpu"))
+    learned_d, dla_d, sub_d = device_put_inputs(
+        learned, dla_s, sub_s, mesh=mesh
+    )
+    assert dla_d.offset_samples is sub_d.offset_samples  # one buffer
+    # mixing committed-f32 inputs with f64 spectra must be rejected
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="learned model"):
+        process_batch(
+            learned_d, spectra, dla_d, sub_d, prior, params, key,
+            MAX_DLAS, mesh=mesh, dtype=None,
+        )
+    committed = process_batch(
+        learned_d, spectra, dla_d, sub_d, prior, params, key, MAX_DLAS,
+        mesh=mesh, dtype=np.float32,
+    )
+    for a, b in zip(plain, committed):
+        np.testing.assert_allclose(
+            a.log_evidences_dla, b.log_evidences_dla, rtol=1e-6
+        )
+        np.testing.assert_allclose(a.p_dla, b.p_dla, atol=1e-6)
