@@ -220,21 +220,26 @@ class ProcessedCatalog:
         import h5py
 
         with h5py.File(processed_file, "r") as f:
+            min_z = np.ravel(f["min_z_dlas"])
+            max_z = np.ravel(f["max_z_dlas"])
+            Q = min_z.size  # ground truth for orienting MATLAB layouts
+
             sll = np.asarray(f["sample_log_likelihoods_dla"])
             # reference/MATLAB layouts can be transposed; want (Q, S, k)
             if sll.ndim == 2:
-                sll = sll.T[:, :, None]
-            elif sll.shape[0] < sll.shape[1] and sll.shape[0] < sll.shape[2]:
-                sll = np.moveaxis(sll, 0, -1)
+                sll = (sll if sll.shape[0] == Q else sll.T)[:, :, None]
+            elif sll.shape[0] != Q:
+                axis_q = int(np.nonzero(np.asarray(sll.shape) == Q)[0][0])
+                sll = np.moveaxis(sll, axis_q, 0)
+                if sll.shape[1] < sll.shape[2]:  # want (Q, S, k)
+                    sll = np.swapaxes(sll, 1, 2)
             lld = np.atleast_2d(np.asarray(f["log_likelihoods_dla"]))
-            if lld.shape[0] < lld.shape[1] and lld.shape[0] <= 8:
+            if lld.shape[0] != Q:
                 lld = lld.T
             mp = np.asarray(f["model_posteriors"])
-            if mp.shape[0] < mp.shape[1] and mp.shape[0] <= 8:
+            if mp.shape[0] != Q:
                 mp = mp.T
             base = np.asarray(f["base_sample_inds"])
-            min_z = np.ravel(f["min_z_dlas"])
-            max_z = np.ravel(f["max_z_dlas"])
 
             if sample_file is not None:
                 with h5py.File(sample_file, "r") as sf:

@@ -229,3 +229,54 @@ def test_run_bayes_select_checkpoint_resume(tmp_path, monkeypatch):
     with h5py.File(out, "r") as f:
         np.testing.assert_array_equal(f["p_dlas"][()], first)
         assert list(f["all_exceptions"][()]) == [3]
+
+
+def test_run_analysis_cli(tmp_path, monkeypatch):
+    """End to end: processed catalog -> full figure set + LaTeX tables
+    (the reference's make_plots.py __main__ flow as one command)."""
+    import os
+
+    import h5py
+
+    from gpy_dla_detection_tpu import run_analysis, run_bayes_select
+    from gpy_dla_detection_tpu.data.samples import generate_dla_samples
+
+    params = Parameters(num_dla_samples=50)
+    learned = synthetic_learned_model(params)
+    files, zs = [], [2.9, 3.15, 3.3]
+    for i, z in enumerate(zs):
+        wl, fx, nv, pm = synthetic_observation(
+            params, learned, z, seed=i, dlas=[(z - 0.3, 21.2)] if i else None
+        )
+        path = str(tmp_path / f"spec-0006-55555-{i:04d}.fits")
+        _write_speclite(
+            path, fx.astype(np.float32), np.log10(wl).astype(np.float32),
+            (1.0 / nv).astype(np.float32),
+            np.where(pm, 1 << 24, 0).astype(np.int32),
+        )
+        files.append(path)
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "proc.h5")
+    run_bayes_select.main(
+        ["--qso_list", *files, "--z_qso_list", *[str(z) for z in zs],
+         "--max_dlas", "2", "--num-samples", "50", "--dtype", "float64",
+         "--output", out]
+    )
+    samples = str(tmp_path / "samples.h5")
+    s = generate_dla_samples(params)
+    with h5py.File(samples, "w") as f:
+        f.create_dataset("offset_samples", data=s.offset_samples[:, None])
+        f.create_dataset("log_nhi_samples", data=s.log_nhi_samples[:, None])
+
+    figdir = str(tmp_path / "figs")
+    tex = str(tmp_path / "tables.tex")
+    run_analysis.main(
+        ["--processed", out, "--samples", samples, "--out", figdir,
+         "--bins-per-z", "2", "--quick", "--tables", tex]
+    )
+    made = set(os.listdir(figdir))
+    for stem in ["cddf_gp", "dndx_gp", "omega_gp"]:
+        assert f"{stem}.pdf" in made, stem
+    assert "dndx_all.txt" in made
+    text = open(tex).read()
+    assert text.count("\\begin{table*}") >= 3
