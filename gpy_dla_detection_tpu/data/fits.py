@@ -102,7 +102,11 @@ def read_fits_tables(filename: str):
             naxis1 = header.get("NAXIS1", 0)
             naxis2 = header.get("NAXIS2", 0)
             data_bytes = naxis1 * naxis2
-            padded = (data_bytes + BLOCK - 1) // BLOCK * BLOCK
+            # the HDU data area includes PCOUNT heap bytes (variable-
+            # length arrays) after the fixed table — they must be part
+            # of the padding or every subsequent HDU misaligns
+            heap = header.get("PCOUNT", 0)
+            padded = (data_bytes + heap + BLOCK - 1) // BLOCK * BLOCK
 
             if xtension.strip() != "BINTABLE":
                 f.seek(padded, 1)

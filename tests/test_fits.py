@@ -94,3 +94,86 @@ def test_read_fits_tables_roundtrip(tmp_path):
     assert np.all(np.isnan(nv[~good]))
     want_mask = (~good) | (and_mask >> 24 & 1).astype(bool)
     assert np.array_equal(mask, want_mask)
+
+
+def test_pcount_heap_does_not_misalign_following_hdus(tmp_path):
+    """A BINTABLE with PCOUNT heap bytes (variable-length arrays) must
+    not shift the parse of subsequent HDUs (FITS 4.0 section 7.3.2)."""
+    n = 8
+    rec = np.zeros(n, dtype=[("a", ">f4")])
+    rec["a"] = np.arange(n)
+    data = rec.tobytes()
+    heap = b"\x7f" * 100  # heap area after the fixed table
+    pad = (-(len(data) + len(heap))) % 2880
+
+    first = _block(
+        [
+            _card("XTENSION", "BINTABLE"),
+            _card("BITPIX", 8), _card("NAXIS", 2),
+            _card("NAXIS1", 4), _card("NAXIS2", n),
+            _card("PCOUNT", len(heap)), _card("GCOUNT", 1),
+            _card("TFIELDS", 1),
+            _card("TTYPE1", "a"), _card("TFORM1", "E"),
+            _card("EXTNAME", "FIRST"),
+        ]
+    )
+    rec2 = np.zeros(3, dtype=[("b", ">i4")])
+    rec2["b"] = [7, 8, 9]
+    data2 = rec2.tobytes()
+    second = _block(
+        [
+            _card("XTENSION", "BINTABLE"),
+            _card("BITPIX", 8), _card("NAXIS", 2),
+            _card("NAXIS1", 4), _card("NAXIS2", 3),
+            _card("PCOUNT", 0), _card("GCOUNT", 1),
+            _card("TFIELDS", 1),
+            _card("TTYPE1", "b"), _card("TFORM1", "J"),
+            _card("EXTNAME", "SECOND"),
+        ]
+    )
+    path = str(tmp_path / "heap.fits")
+    with open(path, "wb") as f:
+        f.write(_block([_card("SIMPLE", True), _card("BITPIX", 8), _card("NAXIS", 0)]))
+        f.write(first)
+        f.write(data + heap + b"\x00" * pad)
+        f.write(second)
+        f.write(data2 + b"\x00" * ((-len(data2)) % 2880))
+
+    tables = read_fits_tables(path)
+    assert [t["name"] for t in tables] == ["FIRST", "SECOND"]
+    np.testing.assert_array_equal(tables[1]["columns"]["b"], [7, 8, 9])
+
+
+def test_malformed_files_raise_cleanly(tmp_path):
+    """Corrupt inputs raise (the survey driver captures them per
+    spectrum) instead of crashing the process or looping."""
+    import pytest
+
+    not_fits = str(tmp_path / "x.fits")
+    with open(not_fits, "wb") as f:
+        f.write(b"definitely not a fits file")
+    with pytest.raises(ValueError, match="truncated|not a FITS"):
+        read_fits_tables(not_fits)
+
+    empty = str(tmp_path / "empty.fits")
+    open(empty, "wb").close()
+    with pytest.raises(ValueError, match="not a FITS"):
+        read_fits_tables(empty)
+
+    # header claims more rows than the file carries
+    truncated = str(tmp_path / "trunc.fits")
+    with open(truncated, "wb") as f:
+        f.write(_block([_card("SIMPLE", True), _card("BITPIX", 8), _card("NAXIS", 0)]))
+        f.write(_block(
+            [
+                _card("XTENSION", "BINTABLE"),
+                _card("BITPIX", 8), _card("NAXIS", 2),
+                _card("NAXIS1", 4), _card("NAXIS2", 100000),
+                _card("PCOUNT", 0), _card("GCOUNT", 1),
+                _card("TFIELDS", 1),
+                _card("TTYPE1", "a"), _card("TFORM1", "E"),
+            ]
+        ))
+        f.write(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        read_fits_tables(truncated)
