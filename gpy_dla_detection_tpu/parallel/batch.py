@@ -336,12 +336,11 @@ def batch_evidences(
     )
 
 
-def process_batch(
+def dispatch_batch(
     learned: LearnedModel,
     spectra: list[Spectrum],
     dla_samples: DLASamples,
     subdla_samples: SubDLASamples,
-    prior: PriorCatalog,
     params: Parameters,
     key,
     max_dlas: int = 4,
@@ -349,9 +348,13 @@ def process_batch(
     dtype=None,
     use_pallas=None,
     voigt_impl=None,
-) -> list[SpectrumResult]:
-    """Full model selection for a list of spectra; pads the batch to a
-    multiple of the mesh size, drops the padding on output."""
+) -> EvidenceOutputs:
+    """Enqueue one batch's evidence computation and return the device
+    outputs WITHOUT materializing them — jax dispatch is asynchronous,
+    so the caller can overlap the previous batch's host-side
+    finalization (device->host readback + model selection) with this
+    batch's device compute.  Pads the batch to a multiple of the mesh
+    size (``finalize_batch`` drops the padding)."""
     B = len(spectra)
     n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     n_pad = (-B) % n_dev
@@ -359,7 +362,7 @@ def process_batch(
 
     specs = stack(padded)
     keys = jax.random.split(key, len(padded))
-    out = batch_evidences(
+    return batch_evidences(
         learned,
         specs,
         dla_samples,
@@ -373,6 +376,18 @@ def process_batch(
         voigt_impl=voigt_impl,
     )
 
+
+def finalize_batch(
+    out: EvidenceOutputs,
+    spectra: list[Spectrum],
+    subdla_samples: SubDLASamples,
+    prior: PriorCatalog,
+    params: Parameters,
+    max_dlas: int = 4,
+) -> list[SpectrumResult]:
+    """Materialize one dispatched batch and run the host-side model
+    selection (the second half of :func:`process_batch`)."""
+    B = len(spectra)
     # materialize every output ONCE per batch: slicing a device array
     # per spectrum issues a separate small device->host transfer each
     # time (32 x ~100 ms tunnel round trips measured ~5 s/batch — 10x
@@ -413,3 +428,30 @@ def process_batch(
             )
         )
     return results
+
+
+def process_batch(
+    learned: LearnedModel,
+    spectra: list[Spectrum],
+    dla_samples: DLASamples,
+    subdla_samples: SubDLASamples,
+    prior: PriorCatalog,
+    params: Parameters,
+    key,
+    max_dlas: int = 4,
+    mesh: Mesh | None = None,
+    dtype=None,
+    use_pallas=None,
+    voigt_impl=None,
+) -> list[SpectrumResult]:
+    """Full model selection for a list of spectra: dispatch + finalize
+    in one call (drivers that pipeline batches use the two halves
+    directly)."""
+    out = dispatch_batch(
+        learned, spectra, dla_samples, subdla_samples, params, key,
+        max_dlas, mesh, dtype=dtype, use_pallas=use_pallas,
+        voigt_impl=voigt_impl,
+    )
+    return finalize_batch(
+        out, spectra, subdla_samples, prior, params, max_dlas
+    )

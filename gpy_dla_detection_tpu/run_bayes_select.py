@@ -13,6 +13,12 @@ Usage:
 
 from __future__ import annotations
 
+import os
+
+# persistent compilation cache: repeated CLI invocations must not pay
+# the (minutes-long, on a tunneled TPU) XLA compile again
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 import argparse
 import time
 
@@ -178,6 +184,8 @@ def main(argv=None):
                 errors.append((idx, filename, f"{type(e).__name__}: {e}"))
         return start, specs, kept, errors
 
+    from .parallel.batch import dispatch_batch, finalize_batch
+
     results = []
     spectra_by_idx = {}  # retained only for --plot-figures
     kept_all, all_exceptions = [], []
@@ -185,12 +193,43 @@ def main(argv=None):
     keys = {s: k for s, k in zip(starts, jax.random.split(key, len(starts)))}
     t0 = time.time()
     done = computed = 0
+    # device pipeline: one dispatched batch stays in flight — its
+    # host-side finalization (device->host readback + model selection +
+    # part-file write) runs while the device computes the NEXT batch
+    pending = None  # (start, specs, kept, errors, out, t_dispatch)
+
+    def finalize_pending():
+        nonlocal pending, done, computed
+        if pending is None:
+            return
+        start, specs, kept, errors, out, t_batch = pending
+        pending = None
+        batch_results = finalize_batch(
+            out, specs, subdla_samples, prior, params, args.max_dlas
+        )
+        if checkpoint:
+            with open(part_path(start), "wb") as f:
+                pickle.dump((kept, errors, batch_results), f)
+        results.extend(batch_results)
+        done += len(batch_results)
+        computed += len(batch_results)
+        rate = computed / (time.time() - t0)
+        print(f"[{done}/{total}] {rate:.2f} spectra/sec")
+        metrics.batch(
+            index=start // args.batch_size,
+            size=len(specs),
+            done=done,
+            total=total,
+            seconds=time.time() - t_batch,
+        )
+
     for start, specs, kept, errors in prefetch_map(load_batch, starts):
         # step-granular checkpoint/resume: every batch's results persist
         # to a part file together with its kept indices and failures;
         # reruns skip completed batches entirely (a crash reruns at most
         # the in-flight batch) and reproduce the original run's output
         if checkpoint and os.path.exists(part_path(start)):
+            finalize_pending()  # keep results in batch order
             with open(part_path(start), "rb") as f:
                 batch_kept, batch_errors, batch_results = pickle.load(f)
             # the part file is the source of truth for this batch: any
@@ -213,38 +252,27 @@ def main(argv=None):
             spectra_by_idx.update(zip(kept, specs))
         kept_all.extend(kept)
         if not specs:
+            finalize_pending()
             if checkpoint:
                 with open(part_path(start), "wb") as f:
                     pickle.dump((kept, errors, []), f)
             continue
         t_batch = time.time()
-        batch_results = process_batch(
+        out = dispatch_batch(
             learned,
             specs,
             dla_samples,
             subdla_samples,
-            prior,
             params,
             keys[start],
             args.max_dlas,
             mesh=mesh,
             dtype=dtype,
         )
-        if checkpoint:
-            with open(part_path(start), "wb") as f:
-                pickle.dump((kept, errors, batch_results), f)
-        results.extend(batch_results)
-        done += len(batch_results)
-        computed += len(batch_results)
-        rate = computed / (time.time() - t0)
-        print(f"[{done}/{total}] {rate:.2f} spectra/sec")
-        metrics.batch(
-            index=start // args.batch_size,
-            size=len(specs),
-            done=done,
-            total=total,
-            seconds=time.time() - t_batch,
-        )
+        finalize_pending()  # previous batch drains while this one runs
+        pending = (start, specs, kept, errors, out, t_batch)
+
+    finalize_pending()
 
     qso_list = [args.qso_list[i] for i in kept_all]
     z_qso_list = [args.z_qso_list[i] for i in kept_all]

@@ -12,6 +12,12 @@ Usage:
 
 from __future__ import annotations
 
+import os
+
+# persistent compilation cache: repeated CLI invocations must not pay
+# the (minutes-long, on a tunneled TPU) XLA compile again
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 import argparse
 
 
