@@ -391,7 +391,13 @@ def finalize_batch(
     # materialize every output ONCE per batch: slicing a device array
     # per spectrum issues a separate small device->host transfer each
     # time (32 x ~100 ms tunnel round trips measured ~5 s/batch — 10x
-    # the compute)
+    # the compute).  Start all copies asynchronously first so the
+    # per-array tunnel latencies overlap instead of summing.
+    for leaf in jax.tree.leaves(out):
+        try:
+            leaf.copy_to_host_async()
+        except AttributeError:
+            pass
     null_ev = np.asarray(out.log_evidence_null)
     dla_ev = np.asarray(out.dla.log_evidences)
     sub_ev = np.asarray(out.subdla.log_evidences)
