@@ -420,21 +420,15 @@ def _scan_table_for(learned, pixel_dlog, num_pixels, z_qso_min, z_qso_max):
     return entry
 
 
-def inference_z_qso(
+def _dispatch_scan(
     learned: ZLearnedModel,
     spec: ZSpectrum,
     params: ZParameters,
-    z_qso_min: float = 2.14,
-    z_qso_max: float = 6.16,
-    method: str = "auto",
+    z_qso_min: float,
+    z_qso_max: float,
+    method: str,
 ):
-    """MAP redshift over the sample grid (reference: zqso_gp.py:214-250).
-
-    :param method: "shift" (log-resampled-model fast scan; requires a
-        log-uniform pixel grid), "exact" (per-z interp_uniform), or
-        "auto" — shift when the grid allows it, exact otherwise.
-    :return: (z_map, sample_log_likelihoods, z_grid)
-    """
+    """Enqueue one spectrum's z scan; returns (z_grid, device lls)."""
     if method not in ("auto", "shift", "exact"):
         raise ValueError(
             f"unknown method {method!r}: expected 'auto', 'shift' or 'exact'"
@@ -463,5 +457,61 @@ def inference_z_qso(
         )
     else:
         lls = z_log_evidences(learned, spec, z_grid, params)
+    return z_grid, lls
+
+
+def inference_z_qso(
+    learned: ZLearnedModel,
+    spec: ZSpectrum,
+    params: ZParameters,
+    z_qso_min: float = 2.14,
+    z_qso_max: float = 6.16,
+    method: str = "auto",
+):
+    """MAP redshift over the sample grid (reference: zqso_gp.py:214-250).
+
+    :param method: "shift" (log-resampled-model fast scan; requires a
+        log-uniform pixel grid), "exact" (per-z interp_uniform), or
+        "auto" — shift when the grid allows it, exact otherwise.
+    :return: (z_map, sample_log_likelihoods, z_grid)
+    """
+    z_grid, lls = _dispatch_scan(
+        learned, spec, params, z_qso_min, z_qso_max, method
+    )
     idx = jnp.nanargmax(lls)
     return float(z_grid[idx]), np.asarray(lls), np.asarray(z_grid)
+
+
+def inference_z_qso_many(
+    learned: ZLearnedModel,
+    specs: list,
+    params: ZParameters,
+    z_qso_min: float = 2.14,
+    z_qso_max: float = 6.16,
+    method: str = "auto",
+):
+    """Pipelined multi-spectrum redshift estimation: every scan is
+    enqueued before any result is read back, so the per-spectrum
+    device->host readbacks overlap the device compute (on a tunneled
+    TPU the serial readback was ~30% of the per-spectrum wall time).
+
+    :return: list of (z_map, sample_log_likelihoods) per spectrum,
+        plus the shared z grid: ([(z_map, lls), ...], z_grid)
+    """
+    dispatched = []
+    z_grid = None
+    for spec in specs:
+        z_grid, lls = _dispatch_scan(
+            learned, spec, params, z_qso_min, z_qso_max, method
+        )
+        try:
+            lls.copy_to_host_async()
+        except AttributeError:
+            pass
+        dispatched.append(lls)
+    z_np = np.asarray(z_grid) if z_grid is not None else None
+    results = []
+    for lls in dispatched:
+        lls_np = np.asarray(lls)
+        results.append((float(z_np[np.nanargmax(lls_np)]), lls_np))
+    return results, z_np

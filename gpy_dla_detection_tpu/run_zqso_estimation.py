@@ -57,17 +57,25 @@ def main(argv=None):
         lambda x: jax.device_put(jnp.asarray(np.asarray(x))), learned
     )
 
-    z_maps = []
-    t0 = time.time()
-    for i, fname in enumerate(args.qso_list):
+    from .models.zqso import inference_z_qso_many
+    from .utils.prefetch import prefetch_map
+
+    def load(fname):
         wl, flux, nv, pm = read_spec(fname)
-        spec = prepare_z_spectrum(wl, flux, nv, pm, params.num_pixels_padded)
-        z_map, _, _ = inference_z_qso(
-            learned, spec, params, args.z_min, args.z_max
-        )
-        z_maps.append(z_map)
-        print(f"[{i + 1}/{len(args.qso_list)}] {fname}: z_map = {z_map:.4f} "
-              f"({(i + 1) / (time.time() - t0):.2f} spectra/sec)")
+        return prepare_z_spectrum(wl, flux, nv, pm, params.num_pixels_padded)
+
+    t0 = time.time()
+    # FITS reads prefetch on a worker thread; every scan is enqueued
+    # before any result is read back (device compute and host readback
+    # overlap — models/zqso.py inference_z_qso_many)
+    specs = list(prefetch_map(load, args.qso_list))
+    results, _ = inference_z_qso_many(
+        learned, specs, params, args.z_min, args.z_max
+    )
+    z_maps = [z for z, _ in results]
+    for i, (fname, z_map) in enumerate(zip(args.qso_list, z_maps)):
+        print(f"[{i + 1}/{len(args.qso_list)}] {fname}: z_map = {z_map:.4f}")
+    print(f"{len(z_maps) / (time.time() - t0):.2f} spectra/sec")
 
     import h5py
 
