@@ -14,8 +14,10 @@ The CIV covariance has no absorption-noise term: K = M M^T + V
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -114,3 +116,55 @@ def civ_model_posterior(
     post = np.exp(lp - m)
     post /= post.sum()
     return post[1]
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _civ_step(learned, spec, samples: CIVSamples, params: CIVParameters):
+    """One spectrum's null + CIV evidences as a single compiled step."""
+    from .learned import build_spectrum_model
+
+    model = build_spectrum_model(learned, spec, params)
+    # the CIV covariance carries no absorption-noise term
+    # (reference: civ_gp.py:158-183)
+    model = model._replace(omega2=jnp.zeros_like(model.v))
+    null_ev = civ_null_log_evidence(model)
+    civ_ev, _ = civ_qmc_log_evidence(model, samples, params)
+    return null_ev, civ_ev
+
+
+def civ_inference_many(
+    learned,
+    specs,
+    samples: CIVSamples,
+    params: CIVParameters,
+    p_civ_prior: float = 0.5,
+):
+    """Pipelined CIV detection over many spectra: the learned model and
+    QMC samples are device-committed once, every spectrum's evidences
+    are enqueued as one compiled step, and results are read back with
+    overlapped async copies (the eager per-spectrum path measured
+    ~500 ms/spectrum on a tunneled TPU, dominated by dispatch/readback
+    serialization).
+
+    :return: list of (p_civ, log_evidence_null, log_evidence_civ).
+    """
+    learned = jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(np.asarray(x))), learned
+    )
+    samples = CIVSamples(
+        *[jax.device_put(jnp.asarray(np.asarray(v))) for v in samples]
+    )
+    dispatched = []
+    for spec in specs:
+        ne, ce = _civ_step(learned, spec, samples, params)
+        for a in (ne, ce):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        dispatched.append((ne, ce))
+    results = []
+    for ne, ce in dispatched:
+        ne, ce = float(ne), float(ce)
+        results.append((civ_model_posterior(ne, ce, p_civ_prior), ne, ce))
+    return results

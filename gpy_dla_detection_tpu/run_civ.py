@@ -37,9 +37,6 @@ def main(argv=None):
     from .data.fits import read_spec
     from .data.spectrum import preprocess
     from .models.civ import (
-        civ_model_posterior,
-        civ_null_log_evidence,
-        civ_qmc_log_evidence,
         generate_civ_samples,
     )
     from .models.learned import build_spectrum_model
@@ -57,31 +54,39 @@ def main(argv=None):
         print("[warn] no --learned-file given; using a synthetic CIV-window model")
         learned = synthetic_learned_model(params)
 
+    from .models.civ import civ_inference_many
+    from .utils.prefetch import prefetch_map
+
     samples = generate_civ_samples(params)
-    p_civs, evidences = [], []
-    for fname, z_qso in zip(args.qso_list, args.z_qso_list):
+
+    def load(pair):
+        fname, z_qso = pair
         wl, flux, nv, pm = read_spec(fname)
-        spec = preprocess(wl, flux, nv, pm, z_qso, params)
-        model = build_spectrum_model(learned.astype(np.float64), spec, params)
-        # the CIV covariance carries no absorption-noise term
-        # (reference: civ_gp.py:158-183)
-        model = model._replace(omega2=np.zeros_like(np.asarray(model.v)))
-        null_ev = float(civ_null_log_evidence(model))
-        civ_ev, lls = civ_qmc_log_evidence(model, samples, params)
-        p_civ = civ_model_posterior(null_ev, float(civ_ev))
-        p_civs.append(p_civ)
-        evidences.append((null_ev, float(civ_ev)))
+        return preprocess(wl, flux, nv, pm, z_qso, params)
+
+    # FITS reads prefetch on a worker thread; all evidences are enqueued
+    # as compiled steps with async readback (models/civ.py)
+    specs = list(prefetch_map(load, list(zip(args.qso_list, args.z_qso_list))))
+    results = civ_inference_many(
+        learned.astype(np.float64), specs, samples, params
+    )
+    p_civs = [r[0] for r in results]
+    evidences = [(r[1], r[2]) for r in results]
+    for fname, p_civ in zip(args.qso_list, p_civs):
         print(f"{fname}: P(CIV|D) = {p_civ:.4f}")
 
-        if args.mcmc_steps:
-            from .models.absorber_mcmc import run_civ_mcmc
+    if args.mcmc_steps:
+        from .models.absorber_mcmc import run_civ_mcmc
 
+        for fname, spec in zip(args.qso_list, specs):
+            model = build_spectrum_model(learned.astype(np.float64), spec, params)
+            model = model._replace(omega2=np.zeros_like(np.asarray(model.v)))
             chain, lps, acc = run_civ_mcmc(
                 model, params, jax.random.PRNGKey(0), nsamples=args.mcmc_steps
             )
             tail = np.asarray(chain[-args.mcmc_steps // 4 :]).reshape(-1, 3)
             print(
-                f"  MCMC: z = {np.median(tail[:, 0]):.4f}, "
+                f"  {fname} MCMC: z = {np.median(tail[:, 0]):.4f}, "
                 f"logN = {np.median(tail[:, 1]):.3f}, "
                 f"sigma = {np.median(tail[:, 2]):.3g}"
             )
