@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+from functools import partial
 import numpy as np
 from scipy.special import logsumexp
 
@@ -241,3 +242,58 @@ def load_fumagalli_table(
         classification_outcome=np.asarray(outcome),
         LLS_redshift=np.asarray(z_lls),
     )
+
+
+@partial(jax.jit, static_argnames=("max_lya", "params"))
+def _lls_step(learned, spec, offsets, log_nhi, nhi, key, max_lya, params):
+    """One spectrum's null + k-Lya evidences as a single compiled step."""
+    model = build_spectrum_model(learned, spec, params)
+    result = qmc_log_evidences(
+        model, offsets, log_nhi, nhi, key, max_lya, params, profile="lls"
+    )
+    return null_log_evidence(model), result
+
+
+def lls_inference_many(
+    learned: LearnedModel,
+    specs,
+    samples: LyaSamples,
+    key: jax.Array,
+    max_lya: int,
+    params: Parameters,
+):
+    """Pipelined LLS search over many spectra: the learned model and
+    sample arrays are device-committed once, every spectrum runs as one
+    compiled step, and results are read back with overlapped async
+    copies (same pattern as the DLA survey driver and
+    civ_inference_many).
+
+    :return: list of (null_ev: float, result arrays as numpy) tuples.
+    """
+    import jax.numpy as jnp
+
+    learned = jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(np.asarray(x))), learned
+    )
+    offsets = jax.device_put(jnp.asarray(samples.offset_samples))
+    log_nhi = jax.device_put(jnp.asarray(samples.log_nhi_samples))
+    nhi = jax.device_put(jnp.asarray(samples.nhi_samples))
+
+    keys = jax.random.split(key, max(len(specs), 1))
+    dispatched = []
+    for spec, k in zip(specs, keys):
+        null_ev, result = _lls_step(
+            learned, spec, offsets, log_nhi, nhi, k, max_lya, params
+        )
+        for leaf in jax.tree.leaves((null_ev, result)):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:
+                pass
+        dispatched.append((null_ev, result))
+    out = []
+    for null_ev, result in dispatched:
+        out.append(
+            (float(null_ev), jax.tree.map(np.asarray, result))
+        )
+    return out

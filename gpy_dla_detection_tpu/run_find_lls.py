@@ -58,7 +58,6 @@ def main(argv=None):
     from .data.synthetic import synthetic_learned_model
     from .models.lls import (
         generate_lya_samples,
-        lls_log_evidences,
         lls_model_posteriors,
         with_boss_meanflux,
     )
@@ -93,32 +92,42 @@ def main(argv=None):
             params, args.catalog_file, args.los_catalog, args.dla_catalog
         )
 
+    from .models.lls import lls_inference_many
+    from .utils.prefetch import prefetch_map
+
+    def load(pair):
+        fname, z_qso = pair
+        wl, flux, nv, pm = read_spec(fname)
+        return preprocess(wl, flux, nv, pm, z_qso, params)
+
     key = jax.random.PRNGKey(args.seed)
     rows = []
     t0 = time.time()
-    for i, (fname, z_qso) in enumerate(zip(args.qso_list, args.z_qso_list)):
-        wl, flux, nv, pm = read_spec(fname)
-        spec = preprocess(wl, flux, nv, pm, z_qso, params)
-        key, sub = jax.random.split(key)
-        null_ev, result = lls_log_evidences(
-            learned, spec, samples, sub, args.max_lya, params
-        )
+    # FITS reads prefetch on a worker thread; every spectrum runs as
+    # one compiled step with async readback (models/lls.py)
+    specs = list(
+        prefetch_map(load, list(zip(args.qso_list, args.z_qso_list)))
+    )
+    outs = lls_inference_many(
+        learned, specs, samples, key, args.max_lya, params
+    )
+    for i, ((fname, z_qso), spec, (null_ev, result)) in enumerate(
+        zip(zip(args.qso_list, args.z_qso_list), specs, outs)
+    ):
         if prior_catalog is not None:
             m, n = prior_catalog.less_ind(z_qso)
             post = lls_model_posteriors(
-                float(null_ev), np.asarray(result.log_evidences), m, n
+                null_ev, result.log_evidences, m, n
             )
         else:
-            post = lls_model_posteriors(
-                float(null_ev), np.asarray(result.log_evidences)
-            )
+            post = lls_model_posteriors(null_ev, result.log_evidences)
         rows.append(
             dict(
-                null_ev=float(null_ev),
-                lls_evs=np.asarray(result.log_evidences),
+                null_ev=null_ev,
+                lls_evs=result.log_evidences,
                 posteriors=post,
-                map_z=np.asarray(result.map_z_dlas),
-                map_lognhi=np.asarray(result.map_log_nhis),
+                map_z=result.map_z_dlas,
+                map_lognhi=result.map_log_nhis,
                 min_z=float(spec.min_z_dla),
                 max_z=float(spec.max_z_dla),
             )
