@@ -229,8 +229,14 @@ class ProcessedCatalog:
             if sll.ndim == 2:
                 sll = (sll if sll.shape[0] == Q else sll.T)[:, :, None]
             elif sll.shape[0] != Q:
-                axis_q = int(np.nonzero(np.asarray(sll.shape) == Q)[0][0])
-                sll = np.moveaxis(sll, axis_q, 0)
+                matches = np.nonzero(np.asarray(sll.shape) == Q)[0]
+                if matches.size == 0:
+                    raise ValueError(
+                        "sample_log_likelihoods_dla has shape "
+                        f"{sll.shape} but the catalog has {Q} spectra "
+                        "(min_z_dlas); cannot orient the array"
+                    )
+                sll = np.moveaxis(sll, int(matches[0]), 0)
                 if sll.shape[1] < sll.shape[2]:  # want (Q, S, k)
                     sll = np.swapaxes(sll, 1, 2)
             lld = np.atleast_2d(np.asarray(f["log_likelihoods_dla"]))

@@ -138,23 +138,34 @@ def civ_inference_many(
     samples: CIVSamples,
     params: CIVParameters,
     p_civ_prior: float = 0.5,
+    max_in_flight: int = 64,
 ):
     """Pipelined CIV detection over many spectra: the learned model and
-    QMC samples are device-committed once, every spectrum's evidences
-    are enqueued as one compiled step, and results are read back with
-    overlapped async copies (the eager per-spectrum path measured
-    ~500 ms/spectrum on a tunneled TPU, dominated by dispatch/readback
-    serialization).
+    QMC samples are device-committed once, each spectrum's evidences are
+    enqueued as one compiled step up to ``max_in_flight`` ahead of the
+    readback, and results are read back with overlapped async copies
+    (the eager per-spectrum path measured ~500 ms/spectrum on a
+    tunneled TPU, dominated by dispatch/readback serialization).
+    ``specs`` may be any iterable, e.g. a prefetching generator.
 
     :return: list of (p_civ, log_evidence_null, log_evidence_civ).
     """
+    import collections
+
     learned = jax.tree.map(
         lambda x: jax.device_put(jnp.asarray(np.asarray(x))), learned
     )
     samples = CIVSamples(
         *[jax.device_put(jnp.asarray(np.asarray(v))) for v in samples]
     )
-    dispatched = []
+    in_flight: collections.deque = collections.deque()
+    results = []
+
+    def drain_one():
+        ne, ce = in_flight.popleft()
+        ne, ce = float(ne), float(ce)
+        results.append((civ_model_posterior(ne, ce, p_civ_prior), ne, ce))
+
     for spec in specs:
         ne, ce = _civ_step(learned, spec, samples, params)
         for a in (ne, ce):
@@ -162,9 +173,9 @@ def civ_inference_many(
                 a.copy_to_host_async()
             except AttributeError:
                 pass
-        dispatched.append((ne, ce))
-    results = []
-    for ne, ce in dispatched:
-        ne, ce = float(ne), float(ce)
-        results.append((civ_model_posterior(ne, ce, p_civ_prior), ne, ce))
+        in_flight.append((ne, ce))
+        if len(in_flight) > max_in_flight:
+            drain_one()
+    while in_flight:
+        drain_one()
     return results

@@ -261,15 +261,21 @@ def lls_inference_many(
     key: jax.Array,
     max_lya: int,
     params: Parameters,
+    max_in_flight: int = 16,
 ):
     """Pipelined LLS search over many spectra: the learned model and
-    sample arrays are device-committed once, every spectrum runs as one
-    compiled step, and results are read back with overlapped async
-    copies (same pattern as the DLA survey driver and
-    civ_inference_many).
+    sample arrays are device-committed once, each spectrum runs as one
+    compiled step enqueued up to ``max_in_flight`` ahead of the
+    readback (bounding device memory — each result pytree holds the
+    (S, max_lya) sample likelihoods), and results are read back with
+    overlapped async copies.  ``specs`` may be any iterable, e.g. a
+    prefetching generator.
 
     :return: list of (null_ev: float, result arrays as numpy) tuples.
     """
+
+    import collections
+
     import jax.numpy as jnp
 
     learned = jax.tree.map(
@@ -279,21 +285,26 @@ def lls_inference_many(
     log_nhi = jax.device_put(jnp.asarray(samples.log_nhi_samples))
     nhi = jax.device_put(jnp.asarray(samples.nhi_samples))
 
-    keys = jax.random.split(key, max(len(specs), 1))
-    dispatched = []
-    for spec, k in zip(specs, keys):
+    in_flight: collections.deque = collections.deque()
+    out = []
+
+    def drain_one():
+        null_ev, result = in_flight.popleft()
+        out.append((float(null_ev), jax.tree.map(np.asarray, result)))
+
+    for spec in specs:
+        key, sub = jax.random.split(key)
         null_ev, result = _lls_step(
-            learned, spec, offsets, log_nhi, nhi, k, max_lya, params
+            learned, spec, offsets, log_nhi, nhi, sub, max_lya, params
         )
         for leaf in jax.tree.leaves((null_ev, result)):
             try:
                 leaf.copy_to_host_async()
             except AttributeError:
                 pass
-        dispatched.append((null_ev, result))
-    out = []
-    for null_ev, result in dispatched:
-        out.append(
-            (float(null_ev), jax.tree.map(np.asarray, result))
-        )
+        in_flight.append((null_ev, result))
+        if len(in_flight) > max_in_flight:
+            drain_one()
+    while in_flight:
+        drain_one()
     return out

@@ -484,34 +484,59 @@ def inference_z_qso(
 
 def inference_z_qso_many(
     learned: ZLearnedModel,
-    specs: list,
+    specs,
     params: ZParameters,
     z_qso_min: float = 2.14,
     z_qso_max: float = 6.16,
     method: str = "auto",
+    keep_lls: bool = False,
+    max_in_flight: int = 32,
 ):
-    """Pipelined multi-spectrum redshift estimation: every scan is
-    enqueued before any result is read back, so the per-spectrum
-    device->host readbacks overlap the device compute (on a tunneled
-    TPU the serial readback was ~30% of the per-spectrum wall time).
+    """Pipelined multi-spectrum redshift estimation: scans are enqueued
+    up to ``max_in_flight`` ahead of the readback, so the per-spectrum
+    device->host transfers overlap the device compute (on a tunneled
+    TPU the serial readback was ~30% of the per-spectrum wall time)
+    while device memory stays bounded.
 
-    :return: list of (z_map, sample_log_likelihoods) per spectrum,
-        plus the shared z grid: ([(z_map, lls), ...], z_grid)
+    ``specs`` may be any iterable (e.g. a prefetching generator —
+    spectra are pulled as scans dispatch, so file reads also overlap).
+
+    :param keep_lls: include each spectrum's full (num_zqso_samples,)
+        log-likelihood array in the results (large; off by default so
+        survey runs don't accumulate them in host memory).
+    :return: ([(z_map, lls or None), ...], z_grid).  ``z_map`` is NaN
+        for a spectrum whose scan produced no finite evidence.
     """
-    dispatched = []
+    import collections
+
     z_grid = None
+    in_flight: collections.deque = collections.deque()
+    results = []
+
+    def drain_one():
+        lls_np = np.asarray(in_flight.popleft())
+        finite = np.isfinite(lls_np)
+        z_map = (
+            float(z_np[np.nanargmax(np.where(finite, lls_np, -np.inf))])
+            if finite.any()
+            else float("nan")
+        )
+        results.append((z_map, lls_np if keep_lls else None))
+
+    z_np = None
     for spec in specs:
         z_grid, lls = _dispatch_scan(
             learned, spec, params, z_qso_min, z_qso_max, method
         )
+        if z_np is None:
+            z_np = np.asarray(z_grid)
         try:
             lls.copy_to_host_async()
         except AttributeError:
             pass
-        dispatched.append(lls)
-    z_np = np.asarray(z_grid) if z_grid is not None else None
-    results = []
-    for lls in dispatched:
-        lls_np = np.asarray(lls)
-        results.append((float(z_np[np.nanargmax(lls_np)]), lls_np))
+        in_flight.append(lls)
+        if len(in_flight) > max_in_flight:
+            drain_one()
+    while in_flight:
+        drain_one()
     return results, z_np

@@ -382,7 +382,6 @@ def finalize_batch(
     spectra: list[Spectrum],
     subdla_samples: SubDLASamples,
     prior: PriorCatalog,
-    params: Parameters,
     max_dlas: int = 4,
 ) -> list[SpectrumResult]:
     """Materialize one dispatched batch and run the host-side model
@@ -458,6 +457,4 @@ def process_batch(
         max_dlas, mesh, dtype=dtype, use_pallas=use_pallas,
         voigt_impl=voigt_impl,
     )
-    return finalize_batch(
-        out, spectra, subdla_samples, prior, params, max_dlas
-    )
+    return finalize_batch(out, spectra, subdla_samples, prior, max_dlas)

@@ -78,7 +78,7 @@ def main(argv=None):
     from .data.spectrum import preprocess
     from .data.synthetic import synthetic_learned_model, synthetic_prior_catalog
     from .catalog_io import write_catalog
-    from .parallel.batch import make_spectra_mesh, process_batch
+    from .parallel.batch import make_spectra_mesh
     from .params import Parameters
 
     params = (
@@ -204,8 +204,9 @@ def main(argv=None):
             return
         start, specs, kept, errors, out, t_batch = pending
         pending = None
+        t_fin = time.time()
         batch_results = finalize_batch(
-            out, specs, subdla_samples, prior, params, args.max_dlas
+            out, specs, subdla_samples, prior, args.max_dlas
         )
         if checkpoint:
             with open(part_path(start), "wb") as f:
@@ -220,14 +221,18 @@ def main(argv=None):
             size=len(specs),
             done=done,
             total=total,
-            seconds=time.time() - t_batch,
+            # host-side finalize time; span covers dispatch->finalize
+            # including the overlapped device compute of the NEXT batch
+            seconds=time.time() - t_fin,
+            span_seconds=round(time.time() - t_batch, 3),
         )
 
     for start, specs, kept, errors in prefetch_map(load_batch, starts):
         # step-granular checkpoint/resume: every batch's results persist
         # to a part file together with its kept indices and failures;
-        # reruns skip completed batches entirely (a crash reruns at most
-        # the in-flight batch) and reproduce the original run's output
+        # reruns skip completed batches entirely and reproduce the
+        # original run's output (with the one-batch device pipeline a
+        # crash reruns at most the TWO in-flight batches)
         if checkpoint and os.path.exists(part_path(start)):
             finalize_pending()  # keep results in batch order
             with open(part_path(start), "rb") as f:

@@ -64,11 +64,20 @@ def main(argv=None):
         wl, flux, nv, pm = read_spec(fname)
         return preprocess(wl, flux, nv, pm, z_qso, params)
 
-    # FITS reads prefetch on a worker thread; all evidences are enqueued
-    # as compiled steps with async readback (models/civ.py)
-    specs = list(prefetch_map(load, list(zip(args.qso_list, args.z_qso_list))))
+    # FITS reads prefetch on a worker thread and stream straight into
+    # the evidence pipeline (models/civ.py); spectra are retained only
+    # when the MCMC refinement pass needs them afterwards
+    pairs = list(zip(args.qso_list, args.z_qso_list))
+    specs = []  # filled only under --mcmc-steps
+
+    def spec_stream():
+        for spec in prefetch_map(load, pairs):
+            if args.mcmc_steps:
+                specs.append(spec)
+            yield spec
+
     results = civ_inference_many(
-        learned.astype(np.float64), specs, samples, params
+        learned.astype(np.float64), spec_stream(), samples, params
     )
     p_civs = [r[0] for r in results]
     evidences = [(r[1], r[2]) for r in results]

@@ -103,16 +103,25 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     rows = []
     t0 = time.time()
-    # FITS reads prefetch on a worker thread; every spectrum runs as
-    # one compiled step with async readback (models/lls.py)
-    specs = list(
-        prefetch_map(load, list(zip(args.qso_list, args.z_qso_list)))
-    )
+    # FITS reads prefetch on a worker thread and stream straight into
+    # the compiled per-spectrum pipeline (models/lls.py); the search
+    # windows are captured as spectra stream past
+    z_windows = []
+
+    def spec_stream():
+        for spec in prefetch_map(
+            load, list(zip(args.qso_list, args.z_qso_list))
+        ):
+            z_windows.append(
+                (float(spec.min_z_dla), float(spec.max_z_dla))
+            )
+            yield spec
+
     outs = lls_inference_many(
-        learned, specs, samples, key, args.max_lya, params
+        learned, spec_stream(), samples, key, args.max_lya, params
     )
-    for i, ((fname, z_qso), spec, (null_ev, result)) in enumerate(
-        zip(zip(args.qso_list, args.z_qso_list), specs, outs)
+    for i, ((fname, z_qso), (min_z, max_z), (null_ev, result)) in enumerate(
+        zip(zip(args.qso_list, args.z_qso_list), z_windows, outs)
     ):
         if prior_catalog is not None:
             m, n = prior_catalog.less_ind(z_qso)
@@ -128,8 +137,8 @@ def main(argv=None):
                 posteriors=post,
                 map_z=result.map_z_dlas,
                 map_lognhi=result.map_log_nhis,
-                min_z=float(spec.min_z_dla),
-                max_z=float(spec.max_z_dla),
+                min_z=min_z,
+                max_z=max_z,
             )
         )
         p_lls = 1.0 - post[0]

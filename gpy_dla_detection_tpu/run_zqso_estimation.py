@@ -35,7 +35,7 @@ def main(argv=None):
 
     from .data.fits import read_spec
     from .data.loaders import load_z_learned_model
-    from .models.zqso import inference_z_qso, prepare_z_spectrum
+    from .models.zqso import prepare_z_spectrum
     from .params import ZParameters
 
     params = ZParameters(num_zqso_samples=args.num_samples)
@@ -65,12 +65,12 @@ def main(argv=None):
         return prepare_z_spectrum(wl, flux, nv, pm, params.num_pixels_padded)
 
     t0 = time.time()
-    # FITS reads prefetch on a worker thread; every scan is enqueued
-    # before any result is read back (device compute and host readback
+    # FITS reads prefetch on a worker thread and stream straight into
+    # the scan pipeline (reads, device compute and host readback all
     # overlap — models/zqso.py inference_z_qso_many)
-    specs = list(prefetch_map(load, args.qso_list))
     results, _ = inference_z_qso_many(
-        learned, specs, params, args.z_min, args.z_max
+        learned, prefetch_map(load, args.qso_list), params,
+        args.z_min, args.z_max,
     )
     z_maps = [z for z, _ in results]
     for i, (fname, z_map) in enumerate(zip(args.qso_list, z_maps)):

@@ -48,7 +48,7 @@ class RunLogger:
         self._f.flush()
 
     def batch(self, index: int, size: int, done: int, total: int,
-              seconds: float) -> None:
+              seconds: float, **extra) -> None:
         self.emit(
             "batch_done",
             batch_index=index,
@@ -57,6 +57,7 @@ class RunLogger:
             spectra_total=total,
             batch_seconds=round(seconds, 3),
             spectra_per_sec=round(done / max(time.time() - self._t0, 1e-9), 3),
+            **extra,
         )
 
     def failure(self, item: str, error: str) -> None:
