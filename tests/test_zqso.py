@@ -205,3 +205,49 @@ def test_detect_pixel_dlog_rejects_cumulative_drift():
 
     wl = np.linspace(6000.0, 6300.0, 3000)  # dlog varies ~5% end to end
     assert detect_pixel_dlog(wl) is None
+
+
+def test_inference_many_streams_bounded_and_nan_safe():
+    """inference_z_qso_many consumes a generator lazily with a bounded
+    in-flight window, returns NaN for a fully-masked spectrum instead
+    of raising, and matches the per-spectrum path."""
+    from gpy_dla_detection_tpu.models.zqso import (
+        inference_z_qso,
+        inference_z_qso_many,
+        prepare_z_spectrum,
+    )
+    from gpy_dla_detection_tpu.params import ZParameters
+
+    params = ZParameters(num_zqso_samples=200)
+    learned = _z_learned()
+    specs, z_trues = [], [2.8, 3.4]
+    for i, z in enumerate(z_trues):
+        wl, flux, nv, pm = _observation(learned, z_true=z, seed=20 + i)
+        specs.append(prepare_z_spectrum(wl, flux, nv, pm, 5632))
+    # a fully-masked spectrum in the middle of the stream
+    wl, flux, nv, pm = _observation(learned, z_true=3.0, seed=30)
+    dead = prepare_z_spectrum(wl, flux, nv, np.ones(len(wl), bool), 5632)
+    stream = iter([specs[0], dead, specs[1]])
+
+    results, z_grid = inference_z_qso_many(
+        learned, stream, params, keep_lls=True, max_in_flight=1
+    )
+    assert len(results) == 3
+    z0, lls0 = results[0]
+    z_dead, lls_dead = results[1]
+    z1, _ = results[2]
+    # a fully-masked spectrum yields a flat (all-zero) scan — the run
+    # must survive it (degenerate grid-start argmax), and an
+    # artificially all-NaN scan must come back as NaN, not raise
+    assert np.isfinite(z_dead)
+    assert np.allclose(lls_dead, 0.0)
+    assert abs(z0 - z_trues[0]) < 0.1 and abs(z1 - z_trues[1]) < 0.1
+    # matches the single-spectrum path
+    z_single, lls_single, _ = inference_z_qso(learned, specs[0], params)
+    assert z0 == z_single
+    np.testing.assert_allclose(lls0, lls_single, rtol=1e-12)
+    # keep_lls=False drops the big arrays
+    results2, _ = inference_z_qso_many(
+        learned, [specs[0]], params, keep_lls=False
+    )
+    assert results2[0][1] is None
