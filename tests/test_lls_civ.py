@@ -345,3 +345,75 @@ def test_civ_qmc_evidence_detects_doublet():
     z_best = 1.95 + (2.17 - 1.95) * samples.offset_samples[best]
     assert abs(z_best - z_civ) < 0.01, z_best
     assert abs(samples.log_nciv_samples[best] - log_n) < 0.6
+
+
+def test_lls_inference_many_matches_single_path():
+    """The pipelined LLS many-path (bounded window, streamed iterable)
+    must reproduce lls_log_evidences per spectrum."""
+    from gpy_dla_detection_tpu.models.lls import (
+        generate_lya_samples,
+        lls_inference_many,
+        lls_log_evidences,
+    )
+
+    params = Parameters(num_dla_samples=80, min_lambda=911.75)
+    learned = synthetic_learned_model(params)
+    samples = generate_lya_samples(80)
+    specs = []
+    for i, z in enumerate([3.0, 3.1, 3.2]):
+        wl, fx, nv, pm = synthetic_observation(params, learned, z, seed=40 + i)
+        specs.append(preprocess(wl, fx, nv, pm, z, params))
+
+    key = jax.random.PRNGKey(9)
+    outs = lls_inference_many(
+        learned, iter(specs), samples, key, 2, params, max_in_flight=1
+    )
+    assert len(outs) == 3
+    # single-spectrum path with the same per-spectrum key chain
+    k = key
+    for spec, (null_ev, result) in zip(specs, outs):
+        k, sub = jax.random.split(k)
+        ne_ref, res_ref = lls_log_evidences(
+            learned, spec, samples, sub, 2, params
+        )
+        np.testing.assert_allclose(null_ev, float(ne_ref), rtol=1e-10)
+        np.testing.assert_allclose(
+            result.log_evidences, np.asarray(res_ref.log_evidences), rtol=1e-8
+        )
+
+
+def test_civ_inference_many_matches_single_path():
+    """civ_inference_many (bounded window, streamed) must reproduce the
+    eager per-spectrum evidences."""
+    from gpy_dla_detection_tpu.models.civ import (
+        civ_inference_many,
+        civ_model_posterior,
+        civ_null_log_evidence,
+        civ_qmc_log_evidence,
+        generate_civ_samples,
+    )
+    from gpy_dla_detection_tpu.models.learned import build_spectrum_model
+    from gpy_dla_detection_tpu.params import CIVParameters
+
+    params = CIVParameters(num_civ_samples=60)
+    learned = synthetic_learned_model(params)
+    samples = generate_civ_samples(params)
+    specs = []
+    for i, z in enumerate([2.1, 2.15, 2.2]):
+        wl, fx, nv, pm = synthetic_observation(params, learned, z, seed=50 + i)
+        specs.append(preprocess(wl, fx, nv, pm, z, params))
+
+    results = civ_inference_many(
+        learned, iter(specs), samples, params, max_in_flight=1
+    )
+    assert len(results) == 3
+    for spec, (p_civ, ne, ce) in zip(specs, results):
+        model = build_spectrum_model(learned, spec, params)
+        model = model._replace(omega2=jnp.zeros_like(model.v))
+        ne_ref = float(civ_null_log_evidence(model))
+        ce_ref, _ = civ_qmc_log_evidence(model, samples, params)
+        np.testing.assert_allclose(ne, ne_ref, rtol=1e-8)
+        np.testing.assert_allclose(ce, float(ce_ref), rtol=1e-8)
+        np.testing.assert_allclose(
+            p_civ, civ_model_posterior(ne_ref, float(ce_ref)), rtol=1e-8
+        )
