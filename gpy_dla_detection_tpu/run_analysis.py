@@ -34,6 +34,12 @@ def main(argv=None):
         "--quick", action="store_true",
         help="headline figures only (skip the split/systematic checks)",
     )
+    parser.add_argument(
+        "--compare", default=None,
+        help="second processed catalog to overlay (reference: "
+        "make_plots.py:246-269 do_compare_plots)",
+    )
+    parser.add_argument("--compare-label", default="compare")
     args = parser.parse_args(argv)
 
     from .analysis import paper_plots as pp
@@ -54,6 +60,19 @@ def main(argv=None):
     else:
         pp.make_all_plots(cat, args.out)
     print(f"wrote figures + data tables to {args.out}/")
+
+    if args.compare:
+        other = ProcessedCatalog.from_file(
+            args.compare,
+            sample_file=args.samples,
+            snrs_file=args.snrs,
+            max_k=args.max_k,
+            occams_razor=args.occams_razor,
+            snr_thresh=args.snr_thresh,
+        )
+        other.bins_per_z = args.bins_per_z
+        pp.do_compare_plots(cat, other, args.out, label=args.compare_label)
+        print(f"wrote comparison overlays vs {args.compare}")
 
     if args.tables:
         from .analysis.tables import all_tables

@@ -280,3 +280,13 @@ def test_run_analysis_cli(tmp_path, monkeypatch):
     assert "dndx_all.txt" in made
     text = open(tex).read()
     assert text.count("\\begin{table*}") >= 3
+
+    # two-catalog comparison overlays (self-compare is fine as a smoke)
+    run_analysis.main(
+        ["--processed", out, "--samples", samples, "--out", figdir,
+         "--bins-per-z", "2", "--quick", "--compare", out,
+         "--compare-label", "same"]
+    )
+    made = set(os.listdir(figdir))
+    for stem in ["cddf_same", "dndx_same", "omega_same"]:
+        assert f"{stem}.pdf" in made, stem
