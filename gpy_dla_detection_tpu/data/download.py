@@ -15,16 +15,27 @@ from .build_catalog import V_5_7_2_PLATES
 from .fits import file_loader
 
 SDSS_BASE = "https://data.sdss.org/sas/dr12/boss/spectro/redux"
+# DR14Q spectra are served from the DR16 eBOSS reduction
+# (reference: read_spec.py:180-183)
+EBOSS_BASE = "https://data.sdss.org/sas/dr16/eboss/spectro/redux"
 
 
 def spec_url(plate: int, mjd: int, fiber_id: int, release: str = "dr12q") -> str:
-    """URL of a DR12 speclite file; 5.7.2 plates live under a different
-    pipeline directory (reference: read_spec.py:138-170)."""
-    if release != "dr12q":
-        raise NotImplementedError(f"release {release}")
-    version = "v5_7_2" if int(plate) in set(V_5_7_2_PLATES.tolist()) else "v5_7_0"
+    """URL of an SDSS speclite file.
+
+    dr12q: BOSS redux, with the 33 late plates under v5_7_2 instead of
+    v5_7_0 (reference: read_spec.py:138-170).  dr14q: the v5_13_0 eBOSS
+    redux under DR16 (reference: read_spec.py:180-183).
+    """
     fname = file_loader(plate, mjd, fiber_id)
-    return f"{SDSS_BASE}/{version}/spectra/lite/{plate:d}/{fname}"
+    if release == "dr12q":
+        version = "v5_7_2" if int(plate) in set(V_5_7_2_PLATES.tolist()) else "v5_7_0"
+        return f"{SDSS_BASE}/{version}/spectra/lite/{plate:d}/{fname}"
+    if release == "dr14q":
+        return f"{EBOSS_BASE}/v5_13_0/spectra/lite/{plate:d}/{fname}"
+    raise ValueError(
+        f"release must be dr12q or dr14q, got {release!r}"
+    )  # reference: read_spec.py:184-185
 
 
 def retrieve_raw_spec(

@@ -154,7 +154,19 @@ def read_spec(filename: str):
             break
     if data is None:
         data = tables[0]["columns"]
+    return _spec_from_columns(data)
 
+
+def read_spec_dr14q(filename: str):
+    """Load a DR14Q speclite file: the coadd always lives in the first
+    extension, with the same columns (reference: read_spec.py:74-120)."""
+    tables = read_fits_tables(filename)
+    if not tables:
+        raise ValueError(f"{filename}: no binary tables")
+    return _spec_from_columns(tables[0]["columns"])
+
+
+def _spec_from_columns(data):
     flux = np.asarray(data["flux"], np.float64)
     wavelengths = 10.0 ** np.asarray(data["loglam"], np.float64)
     ivar = np.asarray(data["ivar"], np.float64)
@@ -170,6 +182,11 @@ def read_spec(filename: str):
     return wavelengths, flux, noise_variance, pixel_mask
 
 
-# DR14Q files carry the coadd in the first extension with the same
-# columns (reference: read_spec.py:74-120)
-read_spec_dr14q = read_spec
+def spec_reader(release: str = "dr12q"):
+    """Reader function for a data release (the reference parameterizes
+    its driver by reader — reference: run_bayes_select.py:32,146)."""
+    if release == "dr12q":
+        return read_spec
+    if release == "dr14q":
+        return read_spec_dr14q
+    raise ValueError(f"release must be dr12q or dr14q, got {release!r}")

@@ -41,6 +41,13 @@ def main(argv=None):
     parser.add_argument(
         "--dtype", choices=["float32", "float64"], default="float32"
     )
+    parser.add_argument(
+        "--release",
+        choices=["dr12q", "dr14q"],
+        default="dr12q",
+        help="data release the spectra come from (selects the reader; "
+        "reference: read_spec.py:22,74)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
         "--num-samples",
@@ -73,7 +80,9 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from .data import loaders
-    from .data.fits import read_spec
+    from .data.fits import spec_reader
+
+    read_spec = spec_reader(args.release)
     from .data.samples import generate_dla_samples, generate_subdla_samples
     from .data.spectrum import preprocess
     from .data.synthetic import synthetic_learned_model, synthetic_prior_catalog

@@ -26,6 +26,13 @@ import time
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--qso_list", nargs="+", required=True)
+    parser.add_argument(
+        "--release",
+        choices=["dr12q", "dr14q"],
+        default="dr12q",
+        help="data release the spectra come from (selects the reader; "
+        "reference: read_spec.py:22,74)",
+    )
     parser.add_argument("--z_qso_list", nargs="+", type=float, required=True)
     parser.add_argument("--learned-file", default=None)
     parser.add_argument("--output", default="processed_lls.h5")
@@ -53,7 +60,9 @@ def main(argv=None):
     import jax
     import numpy as np
 
-    from .data.fits import read_spec
+    from .data.fits import spec_reader
+
+    read_spec = spec_reader(args.release)
     from .data.spectrum import preprocess
     from .data.synthetic import synthetic_learned_model
     from .models.lls import (

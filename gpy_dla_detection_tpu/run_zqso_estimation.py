@@ -24,6 +24,13 @@ import time
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--qso_list", nargs="+", required=True)
+    parser.add_argument(
+        "--release",
+        choices=["dr12q", "dr14q"],
+        default="dr12q",
+        help="data release the spectra come from (selects the reader; "
+        "reference: read_spec.py:22,74)",
+    )
     parser.add_argument("--learned-file", default=None)
     parser.add_argument("--output", default="zqso_estimates.h5")
     parser.add_argument("--z-min", type=float, default=2.14)
@@ -33,7 +40,9 @@ def main(argv=None):
 
     import numpy as np
 
-    from .data.fits import read_spec
+    from .data.fits import spec_reader
+
+    read_spec = spec_reader(args.release)
     from .data.loaders import load_z_learned_model
     from .models.zqso import prepare_z_spectrum
     from .params import ZParameters

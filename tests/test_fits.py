@@ -177,3 +177,57 @@ def test_malformed_files_raise_cleanly(tmp_path):
         f.write(b"\x00" * 64)
     with pytest.raises(ValueError):
         read_fits_tables(truncated)
+
+
+def test_spec_url_releases():
+    """URL construction per release (reference: read_spec.py:138-185)."""
+    import pytest
+
+    from gpy_dla_detection_tpu.data.download import spec_url
+
+    # ordinary dr12q plate -> v5_7_0 BOSS redux
+    assert spec_url(5309, 55929, 362) == (
+        "https://data.sdss.org/sas/dr12/boss/spectro/redux/v5_7_0/"
+        "spectra/lite/5309/spec-5309-55929-0362.fits"
+    )
+    # one of the 33 late plates -> v5_7_2
+    assert "/v5_7_2/" in spec_url(7339, 56000, 1)
+    # dr14q -> v5_13_0 eBOSS redux under DR16 (reference: read_spec.py:180-183)
+    assert spec_url(7596, 56945, 838, release="dr14q") == (
+        "https://data.sdss.org/sas/dr16/eboss/spectro/redux/v5_13_0/"
+        "spectra/lite/7596/spec-7596-56945-0838.fits"
+    )
+    with pytest.raises(ValueError, match="dr12q or dr14q"):
+        spec_url(1, 2, 3, release="dr16q")
+
+
+def test_read_spec_dr14q_first_extension(tmp_path):
+    """DR14Q files carry the coadd in the first (unnamed) extension;
+    the dr14q reader must not require a COADD EXTNAME
+    (reference: read_spec.py:74-120)."""
+    from gpy_dla_detection_tpu.data.fits import read_spec_dr14q, spec_reader
+
+    n = 64
+    rng = np.random.default_rng(1)
+    flux = rng.normal(size=n).astype(np.float32)
+    loglam = (np.log10(3600.0) + 1e-4 * np.arange(n)).astype(np.float32)
+    ivar = rng.uniform(0.5, 10, size=n).astype(np.float32)
+    ivar[::9] = 0.0
+    and_mask = np.zeros(n, np.int32)
+    and_mask[::11] = 1 << 24
+
+    path = str(tmp_path / "spec-7596-56945-0838.fits")
+    _write_speclite(path, flux, loglam, ivar, and_mask)
+    # strip the EXTNAME card so the table is anonymous like dr14q coadds
+    raw = open(path, "rb").read().replace(b"EXTNAME = 'COADD", b"COMMENT = 'COADD")
+    open(path, "wb").write(raw)
+
+    wl, fx, nv, mask = read_spec_dr14q(path)
+    np.testing.assert_allclose(fx, flux, rtol=1e-6)
+    good = ivar != 0
+    np.testing.assert_allclose(nv[good], 1.0 / ivar[good], rtol=1e-6)
+    assert np.all(np.isnan(nv[~good]))
+    assert np.array_equal(mask, (~good) | (and_mask >> 24 & 1).astype(bool))
+
+    assert spec_reader("dr12q") is read_spec
+    assert spec_reader("dr14q") is read_spec_dr14q
