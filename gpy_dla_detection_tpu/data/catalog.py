@@ -93,11 +93,25 @@ class PriorCatalog:
         los_ind = np.isin(thing_ids, thing_ids_los)
         dla_ind = np.isin(thing_ids, thing_ids_dla)
 
+        # Assign each DLA sightline the (z_dla, logNHI) of its FIRST
+        # entry in the concordance file.  The reference assigns
+        # ``z_dlas[dla_ind] = z_dlas_cat[present]`` (reference:
+        # model_priors.py:81-82), which silently assumes the catalog and
+        # the concordance list unique thing_ids in the same order —
+        # multi-DLA sightlines (duplicate thing_ids) crash or misalign
+        # it.  A stable sort keyed on thing_id gives an explicit
+        # first-occurrence index map instead.
+        order = np.argsort(thing_ids_dla, kind="stable")
+        tid_sorted = thing_ids_dla[order]
+        is_first = np.concatenate([[True], tid_sorted[1:] != tid_sorted[:-1]])
+        uniq_tids = tid_sorted[is_first]
+        first_row = order[is_first]  # first file-order row per thing_id
+
         z_dlas = np.full(dla_ind.shape, np.nan)
         log_nhis = np.full(dla_ind.shape, np.nan)
-        present = np.isin(thing_ids_dla, thing_ids)
-        z_dlas[dla_ind] = z_dlas_cat[present]
-        log_nhis[dla_ind] = log_nhis_cat[present]
+        pos = np.searchsorted(uniq_tids, thing_ids[dla_ind])
+        z_dlas[dla_ind] = z_dlas_cat[first_row[pos]]
+        log_nhis[dla_ind] = log_nhis_cat[first_row[pos]]
 
         keep = los_ind.copy()
         if use_in_dr9:
