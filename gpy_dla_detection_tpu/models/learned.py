@@ -80,16 +80,6 @@ def build_spectrum_model(
     log_omega = interp_uniform(x0, dx, learned.log_omega, rest)
     omega2 = jnp.exp(2.0 * log_omega)
 
-    # mean-flux suppression (Kim et al. 2007 parameters)
-    tau_kim = effective_optical_depth(
-        wavelengths,
-        learned.prev_beta,
-        learned.prev_tau_0,
-        spec.z_qso[..., None, None],
-        params.num_forest_lines,
-    )
-    a_lya = jnp.exp(-jnp.sum(tau_kim, axis=-1))
-
     # learned Lyman-forest absorption-noise scaling
     tau_learned = effective_optical_depth(
         wavelengths,
@@ -100,9 +90,23 @@ def build_spectrum_model(
     )
     scaling = 1.0 - jnp.exp(-jnp.sum(tau_learned, axis=-1)) + jnp.exp(learned.log_c_0)
 
-    mu = mu * a_lya
-    M = M * a_lya[..., None]
-    omega2 = omega2 * scaling**2 * a_lya**2
+    if params.suppress_mean_flux:
+        # mean-flux suppression (Kim et al. 2007 parameters)
+        tau_kim = effective_optical_depth(
+            wavelengths,
+            learned.prev_beta,
+            learned.prev_tau_0,
+            spec.z_qso[..., None, None],
+            params.num_forest_lines,
+        )
+        a_lya = jnp.exp(-jnp.sum(tau_kim, axis=-1))
+        mu = mu * a_lya
+        M = M * a_lya[..., None]
+        omega2 = omega2 * scaling**2 * a_lya**2
+    else:
+        # 2017 single-DLA mode: only the noise is scaled
+        # (reference: process_qsos.m:145-147)
+        omega2 = omega2 * scaling**2
 
     return SpectrumModel(
         padded_wavelengths=spec.padded_wavelengths,

@@ -83,11 +83,35 @@ class Parameters:
     # mean-flux suppression (Kim et al. 2007)
     prev_tau_0: float = 0.0023
     prev_beta: float = 3.65
+    # the 2020 pipeline multiplies the Kim mean-flux factor into mu/M
+    # and omega2; the 2017 single-DLA pipeline scales only omega2 by
+    # the learned single-line factor (reference: process_qsos.m:138-147
+    # vs multi_dlas/process_qsos_multiple_dlas_meanflux.m:240-288)
+    suppress_mean_flux: bool = True
 
     # --- fixed-shape padding for the TPU compute path -------------------
     # number of model-window pixels each spectrum is padded to; the
     # 911.75-1215.75 A window at 1e-4 dex spacing spans ~1251 pixels.
     num_pixels_padded: int = 1280
+
+    # ------------------------------------------------------------------
+    # presets
+    # ------------------------------------------------------------------
+    @classmethod
+    def garnett2017(cls, **overrides) -> "Parameters":
+        """The 2017 single-DLA settings (Garnett+ 2017): mixture weight
+        alpha=0.9 and max_noise_variance=1^2 (reference:
+        set_parameters.m:37,49), single-line (Lya-only) noise scaling
+        with no mean-flux suppression of mu/M (reference:
+        process_qsos.m:138-147)."""
+        kw: dict = dict(
+            alpha=0.9,
+            max_noise_variance=1.0,
+            num_forest_lines=1,
+            suppress_mean_flux=False,
+        )
+        kw.update(overrides)
+        return cls(**kw)
 
     # ------------------------------------------------------------------
     # unit conversions

