@@ -290,3 +290,40 @@ def test_run_analysis_cli(tmp_path, monkeypatch):
     made = set(os.listdir(figdir))
     for stem in ["cddf_same", "dndx_same", "omega_same"]:
         assert f"{stem}.pdf" in made, stem
+
+
+def test_run_zqso_cli(tmp_path, monkeypatch):
+    """The zQSO driver end to end: synthetic FITS in, .h5 of MAP
+    redshifts out (reference: tests/test_zestimation.py:22-77)."""
+    import h5py
+
+    from gpy_dla_detection_tpu import run_zqso_estimation
+    from gpy_dla_detection_tpu.data.synthetic import synthetic_z_observation
+
+    files, z_true = [], [2.5, 3.2]
+    for i, z in enumerate(z_true):
+        # seed=0, k=5 matches the CLI's synthetic-model fallback
+        _, (wl, fx, nv, pm) = synthetic_z_observation(z, seed=0)
+        path = str(tmp_path / f"spec-0002-55555-{i:04d}.fits")
+        _write_speclite(
+            path,
+            fx.astype(np.float32),
+            np.log10(wl).astype(np.float32),
+            (1.0 / nv).astype(np.float32),
+            np.where(pm, 1 << 24, 0).astype(np.int32),
+        )
+        files.append(path)
+
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "zqso.h5")
+    run_zqso_estimation.main(
+        ["--qso_list", *files, "--num-samples", "400", "--output", out]
+    )
+
+    with h5py.File(out, "r") as f:
+        z_map = f["z_map"][()]
+        names = [n.decode() for n in f["qso_list"][()]]
+    assert names == files
+    assert z_map.shape == (2,)
+    # grid spacing at 400 samples over [2.14, 6.16] is ~0.01
+    np.testing.assert_allclose(z_map, z_true, atol=0.05)
