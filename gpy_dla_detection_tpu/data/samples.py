@@ -41,6 +41,63 @@ _FIT_UPPER = 25.0  # hard-coded integration upper limit (dla_samples.py:118)
 _FIT_PEAK = 20.03269
 
 
+class LogNHIFit(NamedTuple):
+    """Quadratic fit to the log column-density prior:
+    p(logNHI) ~ exp(-A x^2 + B x + C).  The published Garnett (2017)
+    coefficients are the default everywhere; :func:`fit_log_nhi_prior`
+    re-derives them from a catalog's own DLAs like the MATLAB generator
+    (reference: generate_dla_samples.m:21-54)."""
+
+    A: float
+    B: float
+    C: float
+
+    @property
+    def peak(self) -> float:
+        """argmax of the fit pdf (reference: set_lls_parameters.m:52)."""
+        return self.B / (2.0 * self.A)
+
+
+GARNETT_FIT = LogNHIFit(_FIT_A, _FIT_B, _FIT_C)
+
+
+def fit_log_nhi_prior(
+    log_nhis: np.ndarray, params: Parameters, num_points: int = 1000
+) -> LogNHIFit:
+    """Re-derive the column-density prior from observed DLA logNHIs:
+    Gaussian KDE evaluated on [fit_min, fit_max], then a quadratic fit
+    to the log density (reference: generate_dla_samples.m:33-37).
+
+    The KDE bandwidth is MATLAB ``ksdensity``'s default normal-reference
+    rule: sigma_robust * (4 / (3 n))^(1/5) with
+    sigma_robust = min(std, IQR/1.349).
+    """
+    log_nhis = np.asarray(log_nhis, np.float64).ravel()
+    log_nhis = log_nhis[np.isfinite(log_nhis)]
+    n = log_nhis.size
+    if n < 2:
+        raise ValueError(f"need at least 2 logNHI values, got {n}")
+    x = np.linspace(params.fit_min_log_nhi, params.fit_max_log_nhi, num_points)
+    std = np.std(log_nhis, ddof=1)
+    iqr = float(np.subtract(*np.percentile(log_nhis, [75.0, 25.0])))
+    sigma = min(std, iqr / 1.349) or std
+    bw = sigma * (4.0 / (3.0 * n)) ** 0.2
+    # chunk over evaluation points: (num_points, n) can be ~1000 x 100k
+    kde = np.empty_like(x)
+    for s in range(0, num_points, 128):
+        sl = slice(s, min(s + 128, num_points))
+        kde[sl] = np.mean(
+            np.exp(-0.5 * ((x[sl, None] - log_nhis[None, :]) / bw) ** 2), axis=1
+        ) / (bw * np.sqrt(2.0 * np.pi))
+    f2, f1, f0 = np.polyfit(x, np.log(kde), 2)
+    if f2 >= 0:
+        raise ValueError(
+            "quadratic log-pdf fit is not concave; the catalog's logNHI "
+            "distribution does not support the Gaussian-mixture prior"
+        )
+    return LogNHIFit(A=-float(f2), B=float(f1), C=float(f0))
+
+
 class DLASamples(NamedTuple):
     """QMC samples of (z offset, logNHI) plus the prior's metadata."""
 
@@ -80,39 +137,39 @@ def halton_sequence(n: int, dim: int, skip: int = 0) -> np.ndarray:
     return out
 
 
-def _gaussian_fit_integral(lo, hi):
+def _gaussian_fit_integral(lo, hi, fit: LogNHIFit = GARNETT_FIT):
     """integral of exp(-A x^2 + B x + C) over [lo, hi], analytic."""
-    m = _FIT_B / (2.0 * _FIT_A)
-    sa = np.sqrt(_FIT_A)
+    m = fit.B / (2.0 * fit.A)
+    sa = np.sqrt(fit.A)
     return (
-        np.exp(_FIT_C + _FIT_B**2 / (4.0 * _FIT_A))
+        np.exp(fit.C + fit.B**2 / (4.0 * fit.A))
         * np.sqrt(np.pi)
         / (2.0 * sa)
         * (erf(sa * (hi - m)) - erf(sa * (lo - m)))
     )
 
 
-def _fit_pdf(x):
-    return np.exp(-_FIT_A * x * x + _FIT_B * x + _FIT_C)
+def _fit_pdf(x, fit: LogNHIFit = GARNETT_FIT):
+    return np.exp(-fit.A * x * x + fit.B * x + fit.C)
 
 
-def log_nhi_mixture_pdf(log_nhi, params: Parameters):
+def log_nhi_mixture_pdf(log_nhi, params: Parameters, fit: LogNHIFit = GARNETT_FIT):
     """The normalized logNHI prior density (reference: dla_samples.py:106-131)."""
-    Z = _gaussian_fit_integral(params.fit_min_log_nhi, _FIT_UPPER)
+    Z = _gaussian_fit_integral(params.fit_min_log_nhi, _FIT_UPPER, fit)
     uniform = np.where(
         (log_nhi >= params.uniform_min_log_nhi)
         & (log_nhi <= params.uniform_max_log_nhi),
         1.0 / (params.uniform_max_log_nhi - params.uniform_min_log_nhi),
         0.0,
     )
-    return params.alpha * _fit_pdf(log_nhi) / Z + (1.0 - params.alpha) * uniform
+    return params.alpha * _fit_pdf(log_nhi, fit) / Z + (1.0 - params.alpha) * uniform
 
 
-def _mixture_cdf(x, params: Parameters):
+def _mixture_cdf(x, params: Parameters, fit: LogNHIFit = GARNETT_FIT):
     """CDF of the mixture from fit_min_log_nhi (reference integrates the
     normalized pdf from fit_min, generate_dla_samples.m:44)."""
-    Z = _gaussian_fit_integral(params.fit_min_log_nhi, _FIT_UPPER)
-    fit_part = _gaussian_fit_integral(params.fit_min_log_nhi, x) / Z
+    Z = _gaussian_fit_integral(params.fit_min_log_nhi, _FIT_UPPER, fit)
+    fit_part = _gaussian_fit_integral(params.fit_min_log_nhi, x, fit) / Z
     width = params.uniform_max_log_nhi - params.uniform_min_log_nhi
     uni_part = np.clip((x - params.uniform_min_log_nhi) / width, 0.0, 1.0)
     return params.alpha * fit_part + (1.0 - params.alpha) * uni_part
@@ -130,14 +187,27 @@ def _invert_cdf(u, cdf, lo, hi, iters: int = 80):
     return 0.5 * (lo + hi)
 
 
-def generate_dla_samples(params: Parameters, num_samples: int | None = None) -> DLASamples:
+def generate_dla_samples(
+    params: Parameters,
+    num_samples: int | None = None,
+    fit: LogNHIFit | None = None,
+) -> DLASamples:
     """Generate the (offset, logNHI) QMC sample set
-    (reference: generate_dla_samples.m:8-57)."""
+    (reference: generate_dla_samples.m:8-57).
+
+    :param fit: column-density prior coefficients; the published Garnett
+        fit by default, or one re-derived from a catalog's own DLAs via
+        :func:`fit_log_nhi_prior`.
+    """
+    fit = fit or GARNETT_FIT
     S = num_samples or params.num_dla_samples
     seq = halton_sequence(S, 2)
     offsets = seq[:, 0]
     log_nhi = _invert_cdf(
-        seq[:, 1], lambda x: _mixture_cdf(x, params), params.fit_min_log_nhi, _FIT_UPPER
+        seq[:, 1],
+        lambda x: _mixture_cdf(x, params, fit),
+        params.fit_min_log_nhi,
+        _FIT_UPPER,
     )
     return DLASamples(
         offset_samples=offsets,
@@ -150,16 +220,18 @@ def generate_dla_samples(params: Parameters, num_samples: int | None = None) -> 
     )
 
 
-def _extended_pdf_integral(lo, hi, extrapolate_point=_FIT_PEAK):
+def _extended_pdf_integral(lo, hi, extrapolate_point=None, fit: LogNHIFit = GARNETT_FIT):
     """integral of the peak-extrapolated unnormalized fit pdf: constant
     below the analytic peak, the Gaussian fit above it
     (reference: set_lls_parameters.m:50-55)."""
+    if extrapolate_point is None:
+        extrapolate_point = fit.peak
     lo = np.float64(lo)
     hi = np.float64(hi)
-    peak_val = _fit_pdf(extrapolate_point)
+    peak_val = _fit_pdf(extrapolate_point, fit)
     const_part = peak_val * max(0.0, min(hi, extrapolate_point) - lo)
     gauss_part = (
-        _gaussian_fit_integral(max(lo, extrapolate_point), hi)
+        _gaussian_fit_integral(max(lo, extrapolate_point), hi, fit)
         if hi > extrapolate_point
         else 0.0
     )
@@ -171,6 +243,7 @@ def generate_subdla_samples(
     num_samples: int | None = None,
     min_lls_log_nhi: float = 19.5,
     uniform_max_log_nhi: float = 23.0,
+    fit: LogNHIFit | None = None,
 ) -> SubDLASamples:
     """Generate subDLA (LLS) samples and the partition functions
     (reference: multi_dlas/set_lls_parameters.m:1-70).
@@ -178,6 +251,7 @@ def generate_subdla_samples(
     logNHI is uniform on [19.5, 20.0); Z_lls / Z_dla integrate the
     peak-extrapolated mixture prior over the subDLA and DLA ranges.
     """
+    fit = fit or GARNETT_FIT
     S = num_samples or params.num_dla_samples
     seq = halton_sequence(S, 3)
     offsets = seq[:, 0]
@@ -186,14 +260,14 @@ def generate_subdla_samples(
     ) * seq[:, 2]
 
     # normalized, peak-extrapolated mixture (alpha fit + uniform[19.5, 23])
-    Z = _extended_pdf_integral(min_lls_log_nhi, _FIT_UPPER)
+    Z = _extended_pdf_integral(min_lls_log_nhi, _FIT_UPPER, fit=fit)
     width = uniform_max_log_nhi - min_lls_log_nhi
 
     def norm_pdf_integral(lo, hi):
         uni = (np.clip(hi, min_lls_log_nhi, uniform_max_log_nhi)
                - np.clip(lo, min_lls_log_nhi, uniform_max_log_nhi)) / width
         return (
-            params.alpha * _extended_pdf_integral(lo, hi) / Z
+            params.alpha * _extended_pdf_integral(lo, hi, fit=fit) / Z
             + (1.0 - params.alpha) * uni
         )
 

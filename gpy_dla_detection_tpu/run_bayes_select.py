@@ -39,6 +39,13 @@ def main(argv=None):
     parser.add_argument("--dla-samples-file", default=None)
     parser.add_argument("--subdla-samples-file", default=None)
     parser.add_argument(
+        "--fit-nhi-prior",
+        action="store_true",
+        help="re-derive the logNHI sample prior from the --dla-catalog's "
+        "own DLAs (KDE -> quadratic log-pdf fit) instead of the published "
+        "Garnett coefficients (reference: generate_dla_samples.m:21-54)",
+    )
+    parser.add_argument(
         "--dtype", choices=["float32", "float64"], default="float32"
     )
     parser.add_argument(
@@ -112,15 +119,28 @@ def main(argv=None):
         print("[warn] no --catalog-file given; using a synthetic prior catalog")
         prior = synthetic_prior_catalog(params)
 
+    nhi_fit = None
+    if args.fit_nhi_prior:
+        if not args.dla_catalog:
+            parser.error("--fit-nhi-prior requires --dla-catalog")
+        from .data.samples import fit_log_nhi_prior
+
+        nhi_fit = fit_log_nhi_prior(np.loadtxt(args.dla_catalog)[:, 2], params)
+        print(
+            f"[info] fitted logNHI prior from {args.dla_catalog}: "
+            f"exp({-nhi_fit.A:.4f} x^2 + {nhi_fit.B:.3f} x + {nhi_fit.C:.2f}), "
+            f"peak {nhi_fit.peak:.3f}"
+        )
+
     dla_samples = (
         loaders.load_dla_samples(args.dla_samples_file, params)
         if args.dla_samples_file
-        else generate_dla_samples(params)
+        else generate_dla_samples(params, fit=nhi_fit)
     )
     subdla_samples = (
         loaders.load_subdla_samples(args.subdla_samples_file, params)
         if args.subdla_samples_file
-        else generate_subdla_samples(params)
+        else generate_subdla_samples(params, fit=nhi_fit)
     )
 
     from .utils.metrics import RunLogger
