@@ -29,21 +29,32 @@ from .logmvn import LOG_2PI
 # per-block live set (absorption block + ~6 elementwise temporaries +
 # the (N, k^2) pair basis) comfortably under the ~16 MB VMEM budget —
 # oversized blocks send the Mosaic allocator into pathological search.
-BLOCK_S = 256
+BLOCK_S = 200
 # pixel count the BLOCK_S=256 budget was sized for; wider windows scale
 # the block down so BS * N stays within the same VMEM envelope
 _BLOCK_BUDGET_N = 1280
 
 
-def _block_s(n: int) -> int:
+def _block_s(n: int, s: int | None = None) -> int:
     """Sample-block size for an N-pixel problem: BLOCK_S at the budget
     width, scaled down (8-aligned, min 8) for wider windows so the
-    kernel's VMEM stack stays within the envelope validated at
-    256 x 1280."""
+    kernel's VMEM live set stays within the envelope validated at
+    200 x 1280 (under the explicit 64 MB vmem_limit below).
+
+    When the sample count ``s`` is given, prefer the largest 8-aligned
+    block <= the budget that DIVIDES s: at the reference's S=10,000 that
+    is 200, which removes the 10,000 -> next-multiple pad + slice +
+    copy pair the profiler measured at 12% of total device time
+    (pad/copy/slice 177 ms of 1,472 ms over 3x32 spectra)."""
     if n <= _BLOCK_BUDGET_N:
-        return BLOCK_S
-    scaled = BLOCK_S * _BLOCK_BUDGET_N // n
-    return max(8, (scaled // 8) * 8)
+        budget = BLOCK_S
+    else:
+        budget = max(8, (BLOCK_S * _BLOCK_BUDGET_N // n) // 8 * 8)
+    if s is not None:
+        for b in range(budget, 7, -8):
+            if s % b == 0:
+                return b
+    return budget
 
 
 def _make_kernel(k: int, has_extra: bool):
@@ -167,7 +178,7 @@ def batched_log_mvnpdf_pallas(
     second (S, N) absorption factor multiplied in VMEM.
     """
     S, N = absorption.shape
-    block_s = _block_s(N)
+    block_s = _block_s(N, S)
     n_blocks = -(-S // block_s)
     S_pad = n_blocks * block_s
     if S_pad != S:
@@ -212,6 +223,13 @@ def batched_log_mvnpdf_pallas(
             pl.BlockSpec((block_s, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(jax.ShapeDtypeStruct((S_pad, 1), jnp.float32),),
+        # Mosaic's default 16 MB scoped-VMEM cap is conservative (the
+        # chip has 128 MB); granting 64 MB gives the 200-row block headroom and
+        # keeps fresh compiles of every batch size from OOMing at the
+        # accounting level (a fresh BS=256 compile measured 18.2 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(*args)
 
