@@ -58,7 +58,7 @@ def _block_s(n: int, s: int | None = None) -> int:
 
 
 def _make_kernel(k: int, has_extra: bool):
-    def _kernel(rows_ref, M_ref, Mp_ref, a_ref, *rest):
+    def _kernel(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, *rest):
         if has_extra:
             extra_ref, ll_ref = rest
         else:
@@ -90,11 +90,20 @@ def _make_kernel(k: int, has_extra: bool):
         w = a * a * d_inv  # (BS, N)
         r = a * delta * d_inv
 
-        B = jnp.dot(
-            w,
-            Mp_ref[:],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        # B = w @ M_pair as a manual 3-pass bf16 split at DEFAULT
+        # precision: w = w_hi + w_lo (each bf16), M_pair pre-split by
+        # the wrapper.  Dropping only the w_lo*Mp_lo term (~2^-16
+        # relative), this matches Precision.HIGHEST to the digit on the
+        # f64-reference check (median |Δll| 3.6e-4 both ways — the
+        # error lives elsewhere) while replacing the 6-pass HIGHEST
+        # lowering with 3 native bf16 passes: 0.54 -> 0.36 ms/call
+        # measured (scripts/kernel_ablate.py).
+        w_hi = w.astype(jnp.bfloat16)
+        w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        B = (
+            jnp.dot(w_hi, Mp_hi_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(w_hi, Mp_lo_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(w_lo, Mp_hi_ref[:], preferred_element_type=jnp.float32)
         )  # (BS, k*k)
         u = jnp.dot(
             r,
@@ -199,18 +208,22 @@ def batched_log_mvnpdf_pallas(
         ]
     )  # (5, N)
 
+    Mp32 = M_pair.astype(jnp.float32)
+    Mp_hi = Mp32.astype(jnp.bfloat16)
+    Mp_lo = (Mp32 - Mp_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
     blk_spec = pl.BlockSpec(
         (block_s, N), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    pair_spec = pl.BlockSpec((N, k * k), lambda i: (0, 0), memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((5, N), lambda i: (0, 0), memory_space=pltpu.VMEM),  # rows
         pl.BlockSpec((N, k), lambda i: (0, 0), memory_space=pltpu.VMEM),  # M
-        pl.BlockSpec((N, k * k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pair_spec,  # M_pair high bf16 half
+        pair_spec,  # M_pair low bf16 half
         blk_spec,  # absorption
     ]
-    args = [
-        rows, M.astype(jnp.float32), M_pair.astype(jnp.float32), absorption,
-    ]
+    args = [rows, M.astype(jnp.float32), Mp_hi, Mp_lo, absorption]
     if extra is not None:
         in_specs.append(blk_spec)
         args.append(extra)

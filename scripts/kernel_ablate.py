@@ -1,0 +1,309 @@
+"""Ablation microbench of the Pallas likelihood kernel's internal
+stages: elementwise-only, +matmuls, +Cholesky chain (= full).
+
+Measures amortized wall time over many calls with DIFFERENT inputs
+(block_until_ready is unreliable on this platform — verify skill)."""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gpy_dla_detection_tpu.ops.logmvn import LOG_2PI
+
+S, N, K = 10000, 1280, 20
+BS = 200
+
+
+def make_kernel(stage: str):
+    k = K
+
+    def _kernel(rows_ref, M_ref, Mp_ref, a_ref, ll_ref):
+        rows = rows_ref[:]
+        y = rows[0:1, :]
+        mu = rows[1:2, :]
+        omega2 = rows[2:3, :]
+        v = rows[3:4, :]
+        mask = rows[4:5, :]
+        a_raw = a_ref[:]
+        a = jnp.where(mask > 0, a_raw, 1.0)
+        d_inv = mask / (omega2 * a * a + v)
+        delta = jnp.where(mask > 0, y - mu * a, 0.0)
+        w = a * a * d_inv
+        r = a * delta * d_inv
+        quad0 = jnp.sum(delta * delta * d_inv, axis=1, keepdims=True)
+        logdet0 = -jnp.sum(jnp.log(d_inv + (mask <= 0)), axis=1, keepdims=True)
+        if stage == "elementwise":
+            ll_ref[:] = quad0 + logdet0 + jnp.sum(w + r, axis=1, keepdims=True)
+            return
+        B = jnp.dot(w, Mp_ref[:], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        u = jnp.dot(r, M_ref[:], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        if stage == "matmul":
+            ll_ref[:] = (quad0 + logdet0 + jnp.sum(B, axis=1, keepdims=True)
+                         + jnp.sum(u, axis=1, keepdims=True))
+            return
+        if stage == "matmul_default":
+            # same dots at DEFAULT precision (accuracy-invalid; timing only)
+            B = jnp.dot(w, Mp_ref[:], preferred_element_type=jnp.float32)
+            u = jnp.dot(r, M_ref[:], preferred_element_type=jnp.float32)
+            ll_ref[:] = (quad0 + logdet0 + jnp.sum(B, axis=1, keepdims=True)
+                         + jnp.sum(u, axis=1, keepdims=True))
+            return
+        if stage in ("matmul_split", "full_split", "full_split2"):
+            # 3-pass bf16 split of the big B dot at DEFAULT precision
+            Mp = Mp_ref[:]
+            Mp_hi = Mp.astype(jnp.bfloat16)
+            Mp_lo = (Mp - Mp_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            w_hi = w.astype(jnp.bfloat16)
+            w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            B = (
+                jnp.dot(w_hi, Mp_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(w_hi, Mp_lo, preferred_element_type=jnp.float32)
+                + jnp.dot(w_lo, Mp_hi, preferred_element_type=jnp.float32)
+            )
+            if stage == "matmul_split":
+                ll_ref[:] = (quad0 + logdet0 + jnp.sum(B, axis=1, keepdims=True)
+                             + jnp.sum(u, axis=1, keepdims=True))
+                return
+        if stage in ("full_tri", "full_tri_split"):
+            # shrinking-triangle chain: only the not-yet-final columns
+            # are updated; T holds columns j.. of A as (BS, (k-j)*k)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+            eye_head = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) // k
+                == jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) % k
+            ).astype(jnp.float32)
+            T = B + eye_head
+            quad = jnp.zeros_like(quad0)
+            logdet = jnp.zeros_like(logdet0)
+            for j in range(k):
+                dj = T[:, j : j + 1]
+                logdet = logdet + jnp.log(dj)
+                inv_sqrt = jax.lax.rsqrt(dj)
+                lower = (lane >= j).astype(jnp.float32)
+                col = T[:, :k] * inv_sqrt * lower
+                tj = u[:, j : j + 1] * inv_sqrt
+                quad = quad + tj * tj
+                u = u - tj * col
+                rem = k - j - 1
+                if rem:
+                    i_idx = jax.lax.broadcasted_iota(jnp.int32, (k, rem * k), 0)
+                    p_idx = jax.lax.broadcasted_iota(jnp.int32, (k, rem * k), 1)
+                    Rj = (p_idx // k + j + 1 == i_idx).astype(jnp.float32)
+                    rep = jnp.dot(col, Rj, preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+                    tile = pltpu.repeat(col, rem, axis=1)
+                    T = T[:, k:] - rep * tile
+            n = jnp.sum(mask)
+            ll_ref[:] = -0.5 * (quad0 - quad + logdet0 + logdet + n * LOG_2PI)
+            return
+        if stage == "full_ilp2":
+            h = BS // 2
+            p_idx = jax.lax.broadcasted_iota(jnp.int32, (k, k * k), 1)
+            i_idx = jax.lax.broadcasted_iota(jnp.int32, (k, k * k), 0)
+            R = (p_idx // k == i_idx).astype(jnp.float32)
+            eye_flat = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) // k
+                == jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) % k
+            ).astype(jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+            As = [B[:h] + eye_flat, B[h:] + eye_flat]
+            us = [u[:h], u[h:]]
+            quads = [jnp.zeros((h, 1), jnp.float32) for _ in range(2)]
+            logds = [jnp.zeros((h, 1), jnp.float32) for _ in range(2)]
+            for j in range(k):
+                base = j * k
+                for c in range(2):
+                    A = As[c]
+                    dj = A[:, base + j : base + j + 1]
+                    logds[c] = logds[c] + jnp.log(dj)
+                    inv_sqrt = jax.lax.rsqrt(dj)
+                    lower = (lane >= j).astype(jnp.float32)
+                    col = A[:, base : base + k] * inv_sqrt * lower
+                    tj = us[c][:, j : j + 1] * inv_sqrt
+                    quads[c] = quads[c] + tj * tj
+                    us[c] = us[c] - tj * col
+                    if j < k - 1:
+                        rep = jnp.dot(col, R,
+                                      preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.HIGHEST)
+                        tile = pltpu.repeat(col, k, axis=1)
+                        As[c] = A - rep * tile
+            quad = jnp.concatenate([quads[0], quads[1]], axis=0)
+            logdet = jnp.concatenate([logds[0], logds[1]], axis=0)
+            n = jnp.sum(mask)
+            ll_ref[:] = -0.5 * (quad0 - quad + logdet0 + logdet + n * LOG_2PI)
+            return
+        p_idx = jax.lax.broadcasted_iota(jnp.int32, (k, k * k), 1)
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (k, k * k), 0)
+        R = (p_idx // k == i_idx).astype(jnp.float32)
+        eye_flat = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) // k
+            == jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) % k
+        ).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        A = B + eye_flat
+        quad = jnp.zeros_like(quad0)
+        logdet = jnp.zeros_like(logdet0)
+        for j in range(k):
+            base = j * k
+            dj = A[:, base + j : base + j + 1]
+            logdet = logdet + jnp.log(dj)
+            inv_sqrt = jax.lax.rsqrt(dj)
+            lower = (lane >= j).astype(jnp.float32)
+            col = A[:, base : base + k] * inv_sqrt * lower
+            tj = u[:, j : j + 1] * inv_sqrt
+            quad = quad + tj * tj
+            u = u - tj * col
+            if j < k - 1:
+                if stage == "chain_nodot":
+                    tile = pltpu.repeat(col, k, axis=1)
+                    A = A - tile * tile  # WRONG math; measures chain w/o dot
+                elif stage == "full_split2":
+                    col_hi = col.astype(jnp.bfloat16)
+                    col_lo = (col - col_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    Rb = R.astype(jnp.bfloat16)
+                    rep = (jnp.dot(col_hi, Rb, preferred_element_type=jnp.float32)
+                           + jnp.dot(col_lo, Rb, preferred_element_type=jnp.float32))
+                    tile = pltpu.repeat(col, k, axis=1)
+                    A = A - rep * tile
+                else:
+                    rep = jnp.dot(col, R, preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+                    tile = pltpu.repeat(col, k, axis=1)
+                    A = A - rep * tile
+        n = jnp.sum(mask)
+        ll_ref[:] = -0.5 * (quad0 - quad + logdet0 + logdet + n * LOG_2PI)
+
+    return _kernel
+
+
+def build(stage):
+    blk = pl.BlockSpec((BS, N), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((5, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, K * K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        blk,
+    ]
+
+    @jax.jit
+    def f(rows, M, Mp, a):
+        (ll,) = pl.pallas_call(
+            make_kernel(stage),
+            grid=(S // BS,),
+            in_specs=in_specs,
+            out_specs=(pl.BlockSpec((BS, 1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM),),
+            out_shape=(jax.ShapeDtypeStruct((S, 1), jnp.float32),),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+        )(rows, M, Mp, a)
+        return ll
+
+    return f
+
+
+def main():
+    rng = np.random.default_rng(0)
+    rows = jnp.asarray(
+        np.stack([
+            rng.normal(1, 0.3, N), rng.normal(1, 0.3, N),
+            rng.uniform(0.05, 0.2, N), rng.uniform(0.05, 0.2, N),
+            np.ones(N),
+        ]).astype(np.float32)
+    )
+    M = jnp.asarray(rng.normal(0, 0.2, (N, K)).astype(np.float32))
+    Mp = jnp.asarray((np.asarray(M)[:, :, None] * np.asarray(M)[:, None, :])
+                     .reshape(N, K * K))
+    REPS = 30
+    a_list = [
+        jax.device_put(
+            jnp.asarray(rng.uniform(0.5, 1.0, (S, N)).astype(np.float32))
+        )
+        for _ in range(8)
+    ]
+    rows = jax.device_put(rows); M = jax.device_put(M); Mp = jax.device_put(Mp)
+
+    import glob, gzip, json
+
+    def device_ms(trace_dir):
+        files = sorted(glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                                 recursive=True))
+        with gzip.open(files[-1], "rt") as fh:
+            ev = json.load(fh)["traceEvents"]
+        tot = 0.0
+        for e in ev:
+            if e.get("ph") == "X" and e.get("args", {}).get("hlo_category"):
+                tot += e["dur"] / 1e3
+        return tot
+
+    for stage in ["full", "full_split", "full_split2"]:
+        f = build(stage)
+        np.asarray(f(rows, M, Mp, a_list[0]))  # compile
+        tdir = f"/tmp/ablate_{stage}"
+        os.system(f"rm -rf {tdir}")
+        with jax.profiler.trace(tdir):
+            outs = [f(rows, M, Mp, a_list[i % 8]) for i in range(REPS)]
+            for o in outs:
+                o.copy_to_host_async()
+            for o in outs:
+                np.asarray(o)
+        print(f"{stage:<16} {device_ms(tdir) / REPS:7.3f} ms/call device",
+              flush=True)
+
+
+def accuracy():
+    rng = np.random.default_rng(1)
+    rows_np = np.stack([
+        rng.normal(1, 0.3, N), rng.normal(1, 0.3, N),
+        rng.uniform(0.05, 0.2, N), rng.uniform(0.05, 0.2, N),
+        np.ones(N),
+    ]).astype(np.float32)
+    M_np = rng.normal(0, 0.2, (N, K)).astype(np.float32)
+    Mp_np = (M_np[:, :, None] * M_np[:, None, :]).reshape(N, K * K)
+    a_np = rng.uniform(0.3, 1.0, (S, N)).astype(np.float32)
+
+    f_full = build("full"); f_split = build("full_split2")
+    args = [jax.device_put(jnp.asarray(x)) for x in (rows_np, M_np, Mp_np, a_np)]
+    ll_full = np.asarray(f_full(*args))[:, 0]
+    ll_split = np.asarray(f_split(*args))[:, 0]
+
+    # f64 reference
+    y, mu, om, v, _ = rows_np.astype(np.float64)
+    a = a_np.astype(np.float64); M64 = M_np.astype(np.float64)
+    lls = np.empty(S)
+    for s in range(0, S, 1000):
+        sl = slice(s, s + 1000)
+        d = om * a[sl] ** 2 + v
+        delta = y - mu * a[sl]
+        w64 = a[sl] ** 2 / d
+        Bm = np.eye(K) + np.einsum("sn,ni,nj->sij", w64, M64, M64)
+        u64 = np.einsum("sn,ni->si", a[sl] * delta / d, M64)
+        L = np.linalg.cholesky(Bm)
+        t = np.linalg.solve(L, u64[:, :, None])[:, :, 0]
+        quad = (delta**2 / d).sum(1) - (t**2).sum(1)
+        logdet = np.log(d).sum(1) + 2 * np.log(
+            np.diagonal(L, axis1=1, axis2=2)).sum(1)
+        lls[sl] = -0.5 * (quad + logdet + N * np.log(2 * np.pi))
+    print("full   vs f64: median", np.median(np.abs(ll_full - lls)),
+          "max", np.abs(ll_full - lls).max())
+    print("split  vs f64: median", np.median(np.abs(ll_split - lls)),
+          "max", np.abs(ll_split - lls).max())
+
+
+if __name__ == "__main__":
+    main()
+    accuracy()
