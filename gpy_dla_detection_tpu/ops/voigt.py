@@ -219,8 +219,25 @@ def absorption_from_unit_tau(unit_tau, nhi, broadening: bool = True):
     """Broadened absorption profile from a precomputed unit optical
     depth: ``conv(exp(-nhi * unit_tau))``.  The cheap (exp + 7-tap
     conv) tail of :func:`voigt_absorption`, reusable across
-    column-density families."""
-    raw = jnp.exp(-jnp.asarray(nhi)[..., None] * unit_tau)
+    column-density families.
+
+    On TPU/f32 the exp and the convolution run as one fused Pallas
+    kernel (the XLA unrolled convolution pays a lane relayout per
+    shifted read — 12.6% of total device time on the bench profile)."""
+    nhi = jnp.asarray(nhi)
+    from .kernel_config import on_tpu
+
+    if (
+        broadening
+        and on_tpu(unit_tau)
+        and jnp.result_type(unit_tau) == jnp.float32
+        and unit_tau.ndim == 2
+        and nhi.ndim == 1
+    ):
+        from .voigt_pallas import absorption_from_unit_tau_pallas
+
+        return absorption_from_unit_tau_pallas(unit_tau, nhi)
+    raw = jnp.exp(-nhi[..., None] * unit_tau)
     if broadening:
         return instrumental_broadening(raw)
     return raw

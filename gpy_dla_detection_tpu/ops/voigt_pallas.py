@@ -171,3 +171,72 @@ def voigt_absorption_pallas(
         nhi[:, None],
     )
     return out[:S]
+
+
+def _abs_tail_kernel(tau_ref, nhi_ref, out_ref, *, taps, width):
+    """exp(-nhi * tau) followed by the valid-mode 7-tap instrumental
+    convolution, entirely in VMEM."""
+    raw = jnp.exp(-nhi_ref[:] * tau_ref[:])  # (BS, P)
+    P = raw.shape[-1]
+    n = P - 2 * width
+    acc = taps[0] * raw[:, 0:n]
+    for t in range(1, 2 * width + 1):
+        acc = acc + taps[t] * raw[:, t : t + n]
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def absorption_from_unit_tau_pallas(unit_tau, nhi, interpret: bool = False):
+    """Fused broadened absorption from a unit optical depth:
+    ``conv(exp(-nhi[:, None] * unit_tau))`` as one kernel.
+
+    The XLA composition materializes the raw profile and then pays a
+    lane relayout for each of the seven shifted reads of the unrolled
+    convolution — profiled at 174 ms of 1,378 ms total (12.6%) on the
+    bench workload; here the raw profile never leaves VMEM.
+
+    :param unit_tau: (S, P) per-unit-column-density optical depth on
+        the PADDED pixel grid.
+    :param nhi: (S,) column densities.
+    :return: (S, P - 6) broadened absorption.
+    """
+    width = C.INSTRUMENT_PROFILE_HALF_WIDTH
+    taps = tuple(float(t) for t in C.INSTRUMENT_PROFILE)
+    S, P = unit_tau.shape
+
+    # block size: largest 8-aligned divisor of S under the budget
+    budget = 512
+    block_s = budget
+    for b in range(budget, 7, -8):
+        if S % b == 0:
+            block_s = b
+            break
+    n_blocks = -(-S // block_s)
+    S_pad = n_blocks * block_s
+    tau = jnp.asarray(unit_tau, jnp.float32)
+    nhi32 = jnp.asarray(nhi, jnp.float32)
+    if S_pad != S:
+        tau = jnp.concatenate(
+            [tau, jnp.zeros((S_pad - S, P), jnp.float32)], axis=0
+        )
+        nhi32 = jnp.concatenate(
+            [nhi32, jnp.zeros((S_pad - S,), jnp.float32)], axis=0
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_abs_tail_kernel, taps=taps, width=width),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block_s, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_s, P - 2 * width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((S_pad, P - 2 * width), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(tau, nhi32[:, None])
+    return out[:S]

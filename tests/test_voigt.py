@@ -156,3 +156,25 @@ def test_windowed_fast_path_matches_exact():
     err = np.abs(np.exp(-tau_fast.astype(np.float64)) - np.exp(-tau_exact))
     assert err.max() < 5e-3, err.max()
     assert np.median(err) < 1e-6
+
+
+def test_absorption_tail_pallas_matches_jnp():
+    """The fused exp+broadening kernel (interpret mode) equals the jnp
+    composition, including the non-divisor sample-count pad path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpy_dla_detection_tpu.ops.voigt import instrumental_broadening
+    from gpy_dla_detection_tpu.ops.voigt_pallas import (
+        absorption_from_unit_tau_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    for S in (16, 23):  # 23 exercises the pad-to-block path
+        tau = jnp.asarray(rng.uniform(0, 3, (S, 70)).astype(np.float32))
+        nhi = jnp.asarray(10 ** rng.uniform(20, 22, S).astype(np.float32))
+        want = instrumental_broadening(jnp.exp(-nhi[:, None] * tau))
+        got = absorption_from_unit_tau_pallas(tau, nhi, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-6, atol=1e-7
+        )
