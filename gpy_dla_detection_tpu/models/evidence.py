@@ -122,7 +122,7 @@ def qmc_log_evidences(
     M_pair = pair_basis(model.M)
 
     # state threaded through the static level loop
-    cum_extra = jnp.ones_like(A)  # product of chained absorber profiles
+    cum_extra = None  # product of chained absorber profiles (lazy)
     z_rows = [z_samples]  # level-k absorber redshifts, one row per chain slot
     lognhi_rows = [log_nhi_samples]
     alive = jnp.asarray(True)
@@ -160,8 +160,12 @@ def qmc_log_evidences(
             # chain the resampled absorber by gathering its precomputed
             # profile row: the (S, N) gather measures ~8 ms vs ~35 ms
             # for a fresh Voigt pass (profiler-verified; round 1 had
-            # this backwards from broken microbenchmarks)
-            cum_extra = cum_extra * jnp.take(A, base, axis=0)
+            # this backwards from broken microbenchmarks).  At the
+            # first chained level the gather IS the product (the
+            # multiply with the all-ones init would cost a full (S, N)
+            # read-modify-write pass)
+            gathered = jnp.take(A, base, axis=0)
+            cum_extra = gathered if cum_extra is None else cum_extra * gathered
             z_rows.append(z_samples[base])
             lognhi_rows.append(log_nhi_samples[base])
 
