@@ -19,6 +19,8 @@ voigt_civ.py:103-175, voigt.c:253-304).  Design differences:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -83,6 +85,115 @@ def _unit_lyman_series_optical_depth(wavelengths, z_absorber, num_lines, sigma):
     return tau
 
 
+class WindowedTauParts(NamedTuple):
+    """Windowed unit optical depth in unplaced form: the cheap K=1
+    continued-fraction far field on the chunk-padded pixel grid plus
+    per-line window corrections with their chunk-aligned start indices.
+    ``absorption_from_unit_tau`` places + exponentiates + broadens these
+    inside one Pallas kernel on TPU (the XLA dense-broadcast placement
+    measured ~1.2 ms/spectrum of device time)."""
+
+    far: jnp.ndarray  # (S, P_pad) far-field tau (chunk-padded pixels)
+    corr: jnp.ndarray  # (S, L * FAST_WINDOW) per-line window corrections
+    c0: jnp.ndarray  # (S, L) int32 chunk index of each window start
+    num_pixels: int  # original (unpadded) pixel count P
+
+
+def _windowed_tau_parts(wavelengths, z_absorber, num_lines, sigma):
+    """Far field + window corrections of the windowed unit tau, without
+    the placement (see :func:`_place_windows` /
+    :class:`WindowedTauParts`)."""
+    dtype = wavelengths.dtype
+    S = z_absorber.shape[0]
+    P = wavelengths.shape[0]
+    CH = CHUNK
+    inv = 1.0 / (jnp.sqrt(jnp.asarray(2.0, dtype)) * sigma)
+    c_over = jnp.asarray(C.SPEED_OF_LIGHT_CGS, dtype)
+
+    one_plus_z = (1.0 + z_absorber)[:, None]  # (S, 1)
+
+    nc = -(-P // CH)
+    P_pad = nc * CH
+    wl_pad = jnp.pad(wavelengths, (0, P_pad - P), mode="edge")
+    wl_chunks = wl_pad.reshape(nc, CH)
+
+    far = jnp.zeros((S, P_pad), dtype)
+    corrs = []
+    c0s = []
+    for l in range(num_lines):
+        lam_l = jnp.asarray(C.LYMAN_WAVELENGTHS_A[l], dtype)
+        lead_l = jnp.asarray(C.LYMAN_LEADING_CONSTANTS[l], dtype)
+        gam_l = jnp.asarray(C.LYMAN_LORENTZIAN_WIDTHS[l], dtype)
+        amp = lead_l * inv / jnp.asarray(jnp.sqrt(jnp.pi), dtype)
+        lam_c = lam_l * one_plus_z  # line center, observed frame (S, 1)
+        y_l = gam_l * inv
+
+        # cheapest (K=1) CF evaluation over all pixels; the window pass
+        # supplies the exact value inside CF_FAR_RADIUS
+        x_all = (wl_pad - lam_c) * (c_over / lam_c) * inv  # (S, P_pad)
+        ax_all = jnp.abs(x_all)
+        cf_re, _ = _wofz_cf(ax_all, jnp.full_like(x_all, y_l), terms=1)
+        far_all = ax_all * ax_all + y_l * y_l > CF_FAR_RADIUS * CF_FAR_RADIUS
+        far = far + amp * jnp.where(far_all, cf_re, 0.0)
+
+        # chunk-aligned window start per row (see the windowed fn)
+        center = chunked_searchsorted(wavelengths, lam_c[:, 0])
+        c0 = jnp.clip((center - CH // 2) // CH, 0, nc - 2)  # (S,)
+
+        wl_win = jnp.concatenate(
+            [wl_chunks[c0], wl_chunks[c0 + 1]], axis=1
+        )  # (S, W)
+
+        x_win = (wl_win - lam_c) * (c_over / lam_c) * inv
+        ax = jnp.abs(x_win)
+        r2 = ax * ax + y_l * y_l
+        inner = r2 <= RADIUS * RADIUS
+        annulus = (~inner) & (r2 <= CF_FAR_RADIUS * CF_FAR_RADIUS)
+        wei_win, _ = _wofz_weideman(
+            jnp.where(inner, ax, 0.0), jnp.full_like(x_win, y_l)
+        )
+        cf_win, _ = _wofz_cf(ax, jnp.full_like(x_win, y_l))  # full K
+        corrs.append(
+            amp
+            * (jnp.where(inner, wei_win, 0.0) + jnp.where(annulus, cf_win, 0.0))
+        )  # (S, W)
+        c0s.append(c0.astype(jnp.int32))
+
+    return WindowedTauParts(
+        far=far,
+        corr=jnp.concatenate(corrs, axis=1),
+        c0=jnp.stack(c0s, axis=1),
+        num_pixels=P,
+    )
+
+
+def _place_windows(parts: WindowedTauParts):
+    """XLA placement of the window corrections: dense chunk broadcast
+    (no scatter, no per-row dynamic slices — see the windowed fn's
+    docstring).  Returns the dense (S, P) unit tau."""
+    far, corr, c0_all, P = parts
+    S, P_pad = far.shape
+    CH = CHUNK
+    W = FAST_WINDOW
+    nc = P_pad // CH
+    j_idx = jnp.arange(nc, dtype=jnp.int32)
+    dtype = far.dtype
+
+    tau = far
+    L = c0_all.shape[1]
+    for l in range(L):
+        corr_l = corr[:, l * W : (l + 1) * W]
+        c0 = c0_all[:, l]
+        sel0 = (c0[:, None] == j_idx[None, :]).astype(dtype)  # (S, nc)
+        sel1 = (c0[:, None] + 1 == j_idx[None, :]).astype(dtype)
+        place = (
+            sel0[:, :, None] * corr_l[:, None, :CH]
+            + sel1[:, :, None] * corr_l[:, None, CH:]
+        )  # (S, nc, CH)
+        tau = tau + place.reshape(S, P_pad)
+    return tau[:, :P]
+
+
 def _unit_lyman_series_optical_depth_windowed(
     wavelengths, z_absorber, num_lines, sigma
 ):
@@ -105,80 +216,9 @@ def _unit_lyman_series_optical_depth_windowed(
     tau through HBM per candidate start; measured 14.2 vs 18.7
     spectra/s end to end in round 1).
     """
-    dtype = wavelengths.dtype
-    S = z_absorber.shape[0]
-    P = wavelengths.shape[0]
-    W = FAST_WINDOW
-    CH = CHUNK
-    inv = 1.0 / (jnp.sqrt(jnp.asarray(2.0, dtype)) * sigma)
-    c_over = jnp.asarray(C.SPEED_OF_LIGHT_CGS, dtype)
-
-    one_plus_z = (1.0 + z_absorber)[:, None]  # (S, 1)
-    tau = jnp.zeros((S, P), dtype)
-
-    # pad the pixel axis to whole chunks; padded entries are sliced off
-    # after placement, so their values never matter
-    nc = -(-P // CH)
-    P_pad = nc * CH
-    wl_pad = jnp.pad(wavelengths, (0, P_pad - P), mode="edge")
-    wl_chunks = wl_pad.reshape(nc, CH)
-    j_idx = jnp.arange(nc, dtype=jnp.int32)
-
-    for l in range(num_lines):
-        lam_l = jnp.asarray(C.LYMAN_WAVELENGTHS_A[l], dtype)
-        lead_l = jnp.asarray(C.LYMAN_LEADING_CONSTANTS[l], dtype)
-        gam_l = jnp.asarray(C.LYMAN_LORENTZIAN_WIDTHS[l], dtype)
-        amp = lead_l * inv / jnp.asarray(jnp.sqrt(jnp.pi), dtype)
-        lam_c = lam_l * one_plus_z  # line center, observed frame (S, 1)
-        y_l = gam_l * inv
-
-        # cheapest (K=1) CF evaluation over all pixels; inside the
-        # |z| <= RADIUS disk the CF is invalid and in the RADIUS <
-        # |z| <= CF_FAR_RADIUS annulus K=1 is too coarse -- both get the
-        # exact value from the window pass below, so the full pass
-        # contributes zero there (no cancellation anywhere)
-        x_all = (wavelengths - lam_c) * (c_over / lam_c) * inv  # (S, P)
-        ax_all = jnp.abs(x_all)
-        cf_re, _ = _wofz_cf(ax_all, jnp.full_like(x_all, y_l), terms=1)
-        far_all = ax_all * ax_all + y_l * y_l > CF_FAR_RADIUS * CF_FAR_RADIUS
-        tau = tau + amp * jnp.where(far_all, cf_re, 0.0)
-
-        # chunk-aligned window start per row: the center sits >= 64 px
-        # inside its 256-px window, far beyond the ~±2 px disk
-        # (chunked count, NOT jnp.searchsorted — the binary-search chain
-        # measured 511 ms/batch, 4x the window math it was placing)
-        center = chunked_searchsorted(wavelengths, lam_c[:, 0])
-        c0 = jnp.clip((center - CH // 2) // CH, 0, nc - 2)  # (S,)
-
-        # per-row window wavelengths: gather two chunks from the tiny
-        # (nc, 128) table (cheap — nothing like an (S, P) row gather)
-        wl_win = jnp.concatenate(
-            [wl_chunks[c0], wl_chunks[c0 + 1]], axis=1
-        )  # (S, W)
-
-        x_win = (wl_win - lam_c) * (c_over / lam_c) * inv
-        ax = jnp.abs(x_win)
-        r2 = ax * ax + y_l * y_l
-        inner = r2 <= RADIUS * RADIUS
-        annulus = (~inner) & (r2 <= CF_FAR_RADIUS * CF_FAR_RADIUS)
-        wei_win, _ = _wofz_weideman(
-            jnp.where(inner, ax, 0.0), jnp.full_like(x_win, y_l)
-        )
-        cf_win, _ = _wofz_cf(ax, jnp.full_like(x_win, y_l))  # full K
-        corr = amp * (
-            jnp.where(inner, wei_win, 0.0) + jnp.where(annulus, cf_win, 0.0)
-        )  # (S, W)
-
-        # dense placement over the chunk axis
-        sel0 = (c0[:, None] == j_idx[None, :]).astype(dtype)  # (S, nc)
-        sel1 = (c0[:, None] + 1 == j_idx[None, :]).astype(dtype)
-        place = (
-            sel0[:, :, None] * corr[:, None, :CH]
-            + sel1[:, :, None] * corr[:, None, CH:]
-        )  # (S, nc, CH)
-        tau = tau + place.reshape(S, P_pad)[:, :P]
-
-    return tau
+    return _place_windows(
+        _windowed_tau_parts(wavelengths, z_absorber, num_lines, sigma)
+    )
 
 
 def unit_lyman_optical_depth(
@@ -187,11 +227,18 @@ def unit_lyman_optical_depth(
     num_lines: int = 3,
     sigma: float = C.THERMAL_SIGMA_CGS,
     impl: str | None = None,
+    as_parts: bool = False,
 ):
     """Per-unit-column-density Lyman-series optical depth: the expensive
     (Faddeeva) factor of a Voigt profile, which depends on the absorber
     redshift but NOT on nhi.  ``tau = nhi * unit_tau``; see
     :func:`absorption_from_unit_tau`.
+
+    ``as_parts=True`` (windowed path only) returns a
+    :class:`WindowedTauParts` instead of the dense (S, P) array, letting
+    ``absorption_from_unit_tau`` place the window corrections inside the
+    fused Pallas tail kernel.  Falls back to the dense array when the
+    windowed path is ineligible.
 
     This is the sharing point between the DLA and subDLA models: the
     reference draws both models' redshifts from the *same* Halton
@@ -207,12 +254,15 @@ def unit_lyman_optical_depth(
         and wavelengths.ndim == 1
         and sigma == C.THERMAL_SIGMA_CGS
     ):
+        if as_parts:
+            return _windowed_tau_parts(wavelengths, z_absorber, num_lines, sigma)
         return _unit_lyman_series_optical_depth_windowed(
             wavelengths, z_absorber, num_lines, sigma
         )
-    return _unit_lyman_series_optical_depth(
+    tau = _unit_lyman_series_optical_depth(
         wavelengths, z_absorber, num_lines, sigma
     )
+    return tau
 
 
 def absorption_from_unit_tau(unit_tau, nhi, broadening: bool = True):
@@ -223,10 +273,24 @@ def absorption_from_unit_tau(unit_tau, nhi, broadening: bool = True):
 
     On TPU/f32 the exp and the convolution run as one fused Pallas
     kernel (the XLA unrolled convolution pays a lane relayout per
-    shifted read — 12.6% of total device time on the bench profile)."""
+    shifted read — 12.6% of total device time on the bench profile).
+    A :class:`WindowedTauParts` input additionally moves the window
+    placement into the same kernel."""
     nhi = jnp.asarray(nhi)
     from .kernel_config import on_tpu
 
+    if isinstance(unit_tau, WindowedTauParts):
+        if (
+            broadening
+            and on_tpu(unit_tau.far)
+            and jnp.result_type(unit_tau.far) == jnp.float32
+            and unit_tau.far.ndim == 2
+            and nhi.ndim == 1
+        ):
+            from .voigt_pallas import absorption_windowed_pallas
+
+            return absorption_windowed_pallas(unit_tau, nhi)
+        unit_tau = _place_windows(unit_tau)
     if (
         broadening
         and on_tpu(unit_tau)

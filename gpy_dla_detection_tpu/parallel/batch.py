@@ -136,11 +136,16 @@ def _evidences_fn(
                     model.min_z_dla
                     + (model.max_z_dla - model.min_z_dla) * dla_offsets
                 )
+                # as_parts: the windowed path hands the window
+                # corrections to the fused Pallas tail kernel unplaced
+                # (ops/voigt.WindowedTauParts); falls back to the dense
+                # array off-TPU
                 unit_tau = unit_lyman_optical_depth(
                     model.padded_wavelengths,
                     z_samples,
                     params.num_lines,
                     impl=voigt_impl,
+                    as_parts=True,
                 )
             return EvidenceOutputs(
                 log_evidence_null=null_log_evidence(model),

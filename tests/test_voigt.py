@@ -178,3 +178,51 @@ def test_absorption_tail_pallas_matches_jnp():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-6, atol=1e-7
         )
+
+
+def test_windowed_parts_and_placement_kernel():
+    """The unplaced windowed-tau parts + Pallas placement kernel
+    (interpret mode) reproduce the dense windowed path exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpy_dla_detection_tpu.ops.voigt import (
+        WindowedTauParts,
+        _place_windows,
+        _unit_lyman_series_optical_depth_windowed,
+        _windowed_tau_parts,
+        absorption_from_unit_tau,
+    )
+    from gpy_dla_detection_tpu.ops.voigt_pallas import absorption_windowed_pallas
+    from gpy_dla_detection_tpu import constants as C
+
+    rng = np.random.default_rng(2)
+    P = 300
+    wl = jnp.asarray(
+        (1215.67 * 3.9 * 10 ** (1e-4 * np.arange(P))).astype(np.float32)
+    )
+    S = 24
+    z = jnp.asarray(rng.uniform(2.9, 3.8, S).astype(np.float32))
+    nhi = jnp.asarray(10 ** rng.uniform(20, 21.5, S).astype(np.float32))
+
+    dense = _unit_lyman_series_optical_depth_windowed(
+        wl, z, 3, C.THERMAL_SIGMA_CGS
+    )
+    parts = _windowed_tau_parts(wl, z, 3, C.THERMAL_SIGMA_CGS)
+    np.testing.assert_allclose(
+        np.asarray(_place_windows(parts)), np.asarray(dense), rtol=0, atol=0
+    )
+
+    from gpy_dla_detection_tpu.ops.voigt import instrumental_broadening
+
+    want = instrumental_broadening(jnp.exp(-nhi[:, None] * dense))
+    got = absorption_windowed_pallas(parts, nhi, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-6, atol=1e-7
+    )
+
+    # the CPU fallback of absorption_from_unit_tau places the parts
+    got2 = absorption_from_unit_tau(parts, nhi)
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(want), rtol=2e-6, atol=1e-7
+    )
