@@ -85,18 +85,31 @@ def _unit_lyman_series_optical_depth(wavelengths, z_absorber, num_lines, sigma):
     return tau
 
 
+@jax.tree_util.register_pytree_node_class
 class WindowedTauParts(NamedTuple):
     """Windowed unit optical depth in unplaced form: the cheap K=1
     continued-fraction far field on the chunk-padded pixel grid plus
     per-line window corrections with their chunk-aligned start indices.
     ``absorption_from_unit_tau`` places + exponentiates + broadens these
     inside one Pallas kernel on TPU (the XLA dense-broadcast placement
-    measured ~1.2 ms/spectrum of device time)."""
+    measured ~1.2 ms/spectrum of device time).
+
+    Registered as a pytree with ``num_pixels`` as STATIC aux data (a
+    plain NamedTuple would make it a traced leaf across jit/vmap
+    boundaries, where the placement kernel needs it as a Python int for
+    block shapes)."""
 
     far: jnp.ndarray  # (S, P_pad) far-field tau (chunk-padded pixels)
     corr: jnp.ndarray  # (S, L * FAST_WINDOW) per-line window corrections
     c0: jnp.ndarray  # (S, L) int32 chunk index of each window start
     num_pixels: int  # original (unpadded) pixel count P
+
+    def tree_flatten(self):
+        return (self.far, self.corr, self.c0), self.num_pixels
+
+    @classmethod
+    def tree_unflatten(cls, num_pixels, children):
+        return cls(*children, num_pixels)
 
 
 def _windowed_tau_parts(wavelengths, z_absorber, num_lines, sigma):

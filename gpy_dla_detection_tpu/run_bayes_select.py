@@ -81,6 +81,14 @@ def main(argv=None):
         default=None,
         help=argparse.SUPPRESS,  # legacy alias: any N>0 behaves as --checkpoint
     )
+    parser.add_argument(
+        "--inflight",
+        type=int,
+        default=3,
+        help="dispatched batches kept in flight on the device while the "
+        "finalize thread drains readbacks (>=1; deeper absorbs tunnel "
+        "latency spikes at the cost of device memory)",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -169,6 +177,8 @@ def main(argv=None):
         learned, dla_samples, subdla_samples, dtype, mesh=mesh
     )
 
+    import collections
+    import concurrent.futures
     import os
     import pickle
 
@@ -222,24 +232,33 @@ def main(argv=None):
     keys = {s: k for s, k in zip(starts, jax.random.split(key, len(starts)))}
     t0 = time.time()
     done = computed = 0
-    # device pipeline: one dispatched batch stays in flight — its
-    # host-side finalization (device->host readback + model selection +
-    # part-file write) runs while the device computes the NEXT batch
-    pending = None  # (start, specs, kept, errors, out, t_dispatch)
+    # device pipeline: up to --inflight dispatched batches stay queued
+    # on the device while a dedicated finalize thread drains them
+    # (device->host readback + model selection + part-file write).  The
+    # readback is tunnel-latency-bound (the GIL is released while the
+    # transfer waits), so finalize overlaps the device compute even on
+    # this box's single weak host core; the deeper window means a
+    # latency spike on one batch's readback never starves the device —
+    # the single-batch window measured 27-66 spectra/sec run to run,
+    # the device itself never being the bottleneck.
+    window = max(1, args.inflight)
+    inflight = collections.deque()  # (start, kept, errors, n, future, t)
+    fin_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
 
-    def finalize_pending():
-        nonlocal pending, done, computed
-        if pending is None:
-            return
-        start, specs, kept, errors, out, t_batch = pending
-        pending = None
-        t_fin = time.time()
+    def finalize_job(start, specs, kept, errors, out):
         batch_results = finalize_batch(
             out, specs, subdla_samples, prior, args.max_dlas
         )
         if checkpoint:
             with open(part_path(start), "wb") as f:
                 pickle.dump((kept, errors, batch_results), f)
+        return batch_results
+
+    def drain_one():
+        nonlocal done, computed
+        start, kept, errors, n, future, t_batch = inflight.popleft()
+        t_wait = time.time()
+        batch_results = future.result()
         results.extend(batch_results)
         done += len(batch_results)
         computed += len(batch_results)
@@ -247,23 +266,28 @@ def main(argv=None):
         print(f"[{done}/{total}] {rate:.2f} spectra/sec")
         metrics.batch(
             index=start // args.batch_size,
-            size=len(specs),
+            size=n,
             done=done,
             total=total,
-            # host-side finalize time; span covers dispatch->finalize
-            # including the overlapped device compute of the NEXT batch
-            seconds=time.time() - t_fin,
+            # main-thread wait on the finalize thread (~0 when fully
+            # overlapped); span covers dispatch->drain including the
+            # overlapped device compute of the newer in-flight batches
+            seconds=time.time() - t_wait,
             span_seconds=round(time.time() - t_batch, 3),
         )
+
+    def drain_all():
+        while inflight:
+            drain_one()
 
     for start, specs, kept, errors in prefetch_map(load_batch, starts):
         # step-granular checkpoint/resume: every batch's results persist
         # to a part file together with its kept indices and failures;
         # reruns skip completed batches entirely and reproduce the
-        # original run's output (with the one-batch device pipeline a
-        # crash reruns at most the TWO in-flight batches)
+        # original run's output (a crash reruns at most the in-flight
+        # window's batches)
         if checkpoint and os.path.exists(part_path(start)):
-            finalize_pending()  # keep results in batch order
+            drain_all()  # keep results in batch order
             with open(part_path(start), "rb") as f:
                 batch_kept, batch_errors, batch_results = pickle.load(f)
             # the part file is the source of truth for this batch: any
@@ -286,7 +310,6 @@ def main(argv=None):
             spectra_by_idx.update(zip(kept, specs))
         kept_all.extend(kept)
         if not specs:
-            finalize_pending()
             if checkpoint:
                 with open(part_path(start), "wb") as f:
                     pickle.dump((kept, errors, []), f)
@@ -303,10 +326,21 @@ def main(argv=None):
             mesh=mesh,
             dtype=dtype,
         )
-        finalize_pending()  # previous batch drains while this one runs
-        pending = (start, specs, kept, errors, out, t_batch)
+        inflight.append(
+            (
+                start,
+                kept,
+                errors,
+                len(specs),
+                fin_pool.submit(finalize_job, start, specs, kept, errors, out),
+                t_batch,
+            )
+        )
+        while len(inflight) >= window:
+            drain_one()
 
-    finalize_pending()
+    drain_all()
+    fin_pool.shutdown()
 
     qso_list = [args.qso_list[i] for i in kept_all]
     z_qso_list = [args.z_qso_list[i] for i in kept_all]
