@@ -132,25 +132,53 @@ def _civ_step(learned, spec, samples: CIVSamples, params: CIVParameters):
     return null_ev, civ_ev
 
 
+@partial(jax.jit, static_argnames=("params",))
+def _civ_step_batch(learned, specs, samples: CIVSamples, params):
+    """A stacked batch of spectra's null + CIV evidences as ONE
+    compiled dispatch (vmapped): amortizes the per-dispatch
+    host->device transfer that dominated the per-spectrum step on a
+    tunneled TPU (47 ms/spectrum)."""
+
+    def one(spec):
+        return _civ_step_body(learned, spec, samples, params)
+
+    return jax.vmap(one)(specs)
+
+
+def _civ_step_body(learned, spec, samples, params):
+    from .learned import build_spectrum_model
+
+    model = build_spectrum_model(learned, spec, params)
+    model = model._replace(omega2=jnp.zeros_like(model.v))
+    null_ev = civ_null_log_evidence(model)
+    civ_ev, _ = civ_qmc_log_evidence(model, samples, params)
+    return null_ev, civ_ev
+
+
 def civ_inference_many(
     learned,
     specs,
     samples: CIVSamples,
     params: CIVParameters,
     p_civ_prior: float = 0.5,
-    max_in_flight: int = 64,
+    max_in_flight: int = 4,
+    batch_size: int = 16,
 ):
     """Pipelined CIV detection over many spectra: the learned model and
-    QMC samples are device-committed once, each spectrum's evidences are
-    enqueued as one compiled step up to ``max_in_flight`` ahead of the
-    readback, and results are read back with overlapped async copies
-    (the eager per-spectrum path measured ~500 ms/spectrum on a
-    tunneled TPU, dominated by dispatch/readback serialization).
-    ``specs`` may be any iterable, e.g. a prefetching generator.
+    QMC samples are device-committed once, spectra are stacked into
+    ``batch_size``-wide vmapped dispatches (the per-spectrum step
+    measured 47 ms/spectrum on a tunneled TPU, dominated by the
+    per-dispatch host->device transfer), up to ``max_in_flight``
+    dispatched batches stay in flight, and results are read back with
+    overlapped async copies.  ``specs`` may be any iterable, e.g. a
+    prefetching generator; the final short batch is padded by repeating
+    its last spectrum (one compiled shape; padding results dropped).
 
     :return: list of (p_civ, log_evidence_null, log_evidence_civ).
     """
     import collections
+
+    from ..data.spectrum import stack
 
     learned = jax.tree.map(
         lambda x: jax.device_put(jnp.asarray(np.asarray(x))), learned
@@ -162,20 +190,34 @@ def civ_inference_many(
     results = []
 
     def drain_one():
-        ne, ce = in_flight.popleft()
-        ne, ce = float(ne), float(ce)
-        results.append((civ_model_posterior(ne, ce, p_civ_prior), ne, ce))
+        n_real, ne, ce = in_flight.popleft()
+        ne_np, ce_np = np.asarray(ne), np.asarray(ce)
+        for i in range(n_real):
+            n, c = float(ne_np[i]), float(ce_np[i])
+            results.append((civ_model_posterior(n, c, p_civ_prior), n, c))
 
-    for spec in specs:
-        ne, ce = _civ_step(learned, spec, samples, params)
+    def dispatch(chunk):
+        n_real = len(chunk)
+        while len(chunk) < batch_size:
+            chunk.append(chunk[-1])
+        ne, ce = _civ_step_batch(learned, stack(chunk), samples, params)
         for a in (ne, ce):
             try:
                 a.copy_to_host_async()
             except AttributeError:
                 pass
-        in_flight.append((ne, ce))
+        in_flight.append((n_real, ne, ce))
         if len(in_flight) > max_in_flight:
             drain_one()
+
+    chunk = []
+    for spec in specs:
+        chunk.append(spec)
+        if len(chunk) == batch_size:
+            dispatch(chunk)
+            chunk = []
+    if chunk:
+        dispatch(chunk)
     while in_flight:
         drain_one()
     return results
