@@ -244,6 +244,42 @@ SCAN_OVERSAMPLE = 4
 SCAN_WL_BOUNDS = (3.0e3, 1.3e4)
 
 
+def _flat_resampled_model(
+    learned: ZLearnedModel,
+    pixel_dlog: float,
+    num_pixels: int,
+    oversample: int = SCAN_OVERSAMPLE,
+    z_min: float = 2.14,
+    z_max: float = 6.16,
+    wl_bounds: tuple = SCAN_WL_BOUNDS,
+):
+    """mu/M resampled onto the flat (unstrided) log-uniform rest grid
+    shared by the shift scan and the correlation scan: entry t sits at
+    rest wavelength ``10**(log_x0 + dlog*t)``, edge-clamped outside the
+    model window.
+
+    :return: (grid (T+1,), mu_t (T+1,), M_t (T+1, k), log_x0, dlog, T)
+    """
+    rest = np.asarray(learned.rest_wavelengths, np.float64)
+    dlog = pixel_dlog / oversample
+    lo_rest = min(rest[0], wl_bounds[0] / (1.0 + z_max)) * 0.999
+    log_x0 = np.log10(lo_rest)
+    # highest table entry any slice can touch: the slice starts at the
+    # FIRST pixel (<= wl_bounds[1]) and always spans the full padded
+    # P-pixel window, which can extend far past the last real pixel
+    hi_log_obs = np.log10(wl_bounds[1]) + num_pixels * pixel_dlog
+    hi_log_rest = hi_log_obs - np.log10(1.0 + z_min) + 1e-3
+    T = int(np.ceil((hi_log_rest - log_x0) / dlog)) + 8 * oversample
+    T = -(-T // oversample) * oversample  # whole strided rows
+    grid = 10.0 ** (log_x0 + dlog * np.arange(T + 1))
+    mu_t = np.interp(grid, rest, np.asarray(learned.mu, np.float64))
+    M = np.asarray(learned.M, np.float64)
+    M_t = np.stack(
+        [np.interp(grid, rest, M[:, j]) for j in range(M.shape[1])], axis=1
+    )
+    return grid, mu_t, M_t, float(log_x0), float(dlog), T
+
+
 def build_scan_table(
     learned: ZLearnedModel,
     pixel_dlog: float,
@@ -264,22 +300,8 @@ def build_scan_table(
         and shift the model for every pixel.
     :return: (table, log_x0, dlog)
     """
-    rest = np.asarray(learned.rest_wavelengths, np.float64)
-    dlog = pixel_dlog / oversample
-    lo_rest = min(rest[0], wl_bounds[0] / (1.0 + z_max)) * 0.999
-    log_x0 = np.log10(lo_rest)
-    # highest table entry any slice can touch: the slice starts at the
-    # FIRST pixel (<= wl_bounds[1]) and always spans the full padded
-    # P-pixel window, which can extend far past the last real pixel
-    hi_log_obs = np.log10(wl_bounds[1]) + num_pixels * pixel_dlog
-    hi_log_rest = hi_log_obs - np.log10(1.0 + z_min) + 1e-3
-    T = int(np.ceil((hi_log_rest - log_x0) / dlog)) + 8 * oversample
-    T = -(-T // oversample) * oversample  # whole strided rows
-    grid = 10.0 ** (log_x0 + dlog * np.arange(T + 1))
-    mu_t = np.interp(grid, rest, np.asarray(learned.mu, np.float64))
-    M = np.asarray(learned.M, np.float64)
-    M_t = np.stack(
-        [np.interp(grid, rest, M[:, j]) for j in range(M.shape[1])], axis=1
+    grid, mu_t, M_t, log_x0, dlog, T = _flat_resampled_model(
+        learned, pixel_dlog, num_pixels, oversample, z_min, z_max, wl_bounds
     )
 
     def stride_view(flat):
@@ -429,9 +451,10 @@ def _dispatch_scan(
     method: str,
 ):
     """Enqueue one spectrum's z scan; returns (z_grid, device lls)."""
-    if method not in ("auto", "shift", "exact"):
+    if method not in ("auto", "corr", "shift", "exact"):
         raise ValueError(
-            f"unknown method {method!r}: expected 'auto', 'shift' or 'exact'"
+            f"unknown method {method!r}: expected 'auto', 'corr', 'shift' "
+            "or 'exact'"
         )
     z_grid = jnp.asarray(sample_z_qsos(params.num_zqso_samples, z_qso_min, z_qso_max))
     wl_np = np.asarray(spec.wavelengths)
@@ -442,12 +465,25 @@ def _dispatch_scan(
         wl_np[0] < SCAN_WL_BOUNDS[0] or wl_np[-1] > SCAN_WL_BOUNDS[1]
     ):
         pixel_dlog = None
-    if method == "shift" and pixel_dlog is None:
+    if method in ("shift", "corr") and pixel_dlog is None:
         raise ValueError(
-            "shift scan requires a log-uniform pixel grid within "
+            f"the {method} scan requires a log-uniform pixel grid within "
             f"{SCAN_WL_BOUNDS[0]:.0f}-{SCAN_WL_BOUNDS[1]:.0f} A"
         )
-    if pixel_dlog is not None:
+    if pixel_dlog is not None and method != "shift":
+        # default fast path: the all-shifts correlation scan
+        # (models/zqso_corr.py) — no per-z table reads at all
+        from .zqso_corr import corr_table_for, z_log_evidences_corr
+
+        ct = corr_table_for(
+            learned, pixel_dlog, int(wl_np.shape[0]), params,
+            z_qso_min, z_qso_max,
+        )
+        lls = z_log_evidences_corr(
+            learned, ct.stream_fft, spec, z_grid, params,
+            ct.log_x0, ct.dlog, ct.oversample, ct.k, ct.nfft,
+        )
+    elif pixel_dlog is not None:
         table, log_x0, dlog = _scan_table_for(
             learned, pixel_dlog, wl_np.shape[0], z_qso_min, z_qso_max
         )

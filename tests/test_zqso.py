@@ -251,3 +251,43 @@ def test_inference_many_streams_bounded_and_nan_safe():
         learned, [specs[0]], params, keep_lls=False
     )
     assert results2[0][1] is None
+
+
+def test_corr_scan_matches_shift_and_exact():
+    """The all-shifts correlation scan (models/zqso_corr.py — FFT
+    correlations instead of per-z table reads) must pick the same MAP z
+    as the shift and exact scans, with near-peak deviations orders of
+    magnitude below the peak's margin.  Its only approximations vs the
+    shift scan are <=1-pixel mask edges (grid-rounded rest window,
+    static strict observable cut) and f32 FFT accumulation."""
+    from gpy_dla_detection_tpu.models.zqso import (
+        inference_z_qso,
+        prepare_z_spectrum,
+    )
+    from gpy_dla_detection_tpu.params import ZParameters
+
+    params = ZParameters(num_zqso_samples=800)
+    learned = _z_learned()
+    wl, flux, nv, pm = _observation(learned, z_true=3.2, seed=4)
+    spec = prepare_z_spectrum(wl, flux, nv, pm, 5632)
+
+    z_c, lls_c, zg = inference_z_qso(learned, spec, params, method="corr")
+    z_s, lls_s, _ = inference_z_qso(learned, spec, params, method="shift")
+    z_e, lls_e, _ = inference_z_qso(learned, spec, params, method="exact")
+    assert z_c == z_s == z_e
+    assert abs(z_c - 3.2) < 0.05
+
+    fin = np.isfinite(lls_e) & np.isfinite(lls_c)
+    peak = np.nanargmax(lls_e)
+    near = fin & (np.abs(zg - zg[peak]) < 0.2)
+    margin = lls_e[peak] - np.nanmax(
+        np.where(
+            np.abs(zg - zg[peak]) > 0.2,
+            np.where(fin, lls_e, -np.inf),
+            -np.inf,
+        )
+    )
+    assert np.nanmax(np.abs(lls_c - lls_e)[near]) < 0.01 * margin
+    # auto resolves to the corr path on a log-uniform grid
+    z_a, lls_a, _ = inference_z_qso(learned, spec, params, method="auto")
+    np.testing.assert_array_equal(lls_a, lls_c)
