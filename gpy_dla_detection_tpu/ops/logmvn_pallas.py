@@ -12,11 +12,22 @@ HBM twenty times, measured at 35% of the whole pipeline).
 Used automatically by ``batched_log_mvnpdf`` on TPU for float32 inputs;
 the jnp path remains the reference implementation (and the CPU/f64
 conformance path).
+
+By default the evaluation is SPLIT in two kernels: stage A (per
+(200, N) block) does the noise assembly and the MXU capacitance /
+projection dots and writes (S, k*k)+(S, k)+(S, 2) intermediates to
+HBM; stage B re-reads them in (1000, k*k) blocks and runs the serial
+factorization chain with a shrinking active triangle.  The chain is
+VPU-throughput-bound, and the bigger blocks + triangle cut its cost
+~15% over the single fused kernel (1.536 -> 1.31-1.35 ms/call at
+S=10k; PERFORMANCE.md).  ``GPY_DLA_SPLIT_CHAIN=0`` restores the fused
+kernel.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +35,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .logmvn import LOG_2PI
+
+# two-kernel split (capacitance/MXU stage + factorization-chain stage,
+# see _chain_block_s): default on; GPY_DLA_SPLIT_CHAIN=0 restores the
+# single fused kernel (kept for ablation/rollback)
+_SPLIT_CHAIN: bool = os.environ.get("GPY_DLA_SPLIT_CHAIN", "1") == "1"
 
 # sample-block size: multiple of the f32 sublane tile (8).  Keep the
 # per-block live set (absorption block + ~6 elementwise temporaries +
@@ -55,6 +71,116 @@ def _block_s(n: int, s: int | None = None) -> int:
             if s % b == 0:
                 return b
     return budget
+
+
+def _chain_block_s(s_pad: int) -> int:
+    """Sample-block size for the factorization-chain kernel: the
+    largest 8-aligned divisor of the padded sample count <= 2048.  The
+    chain kernel's live set is (bs, k^2)-shaped — no (BS, N) arrays —
+    so blocks of 2,000 samples fit VMEM easily and amortize the
+    serial chain's fixed per-iteration issue overhead over 10x more
+    rows than the fused kernel's 200-row blocks (measured 1.536 ->
+    1.310/1.345 ms/call at bs=2000/1000, S=10k,
+    scripts/kernel_ablate.py).  Capped at 1024: the shrinking-triangle
+    chain's unrolled SSA temporaries are all charged against Mosaic's
+    scoped-vmem stack, and at bs=2000 the 64 MB accounting limit
+    overflows (75.3 MB) once the kernel is vmapped over a spectra
+    batch."""
+    for b in range(min(1024, s_pad), 7, -8):
+        if s_pad % b == 0:
+            return b
+    return s_pad
+
+
+def _make_cap_kernel(k: int, has_extra: bool):
+    """Stage-A kernel: noise assembly + MXU dots per (BS, N) block;
+    writes the flat capacitance B, projection u, and the data-space
+    quad/logdet scalars (with n log 2pi folded in) for stage B."""
+
+    def _kernel(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, *rest):
+        if has_extra:
+            extra_ref, B_ref, u_ref, misc_ref = rest
+        else:
+            B_ref, u_ref, misc_ref = rest
+        rows = rows_ref[:]
+        y = rows[0:1, :]
+        mu = rows[1:2, :]
+        omega2 = rows[2:3, :]
+        v = rows[3:4, :]
+        mask = rows[4:5, :]
+        a_raw = a_ref[:]
+        if has_extra:
+            a_raw = a_raw * extra_ref[:]
+        a = jnp.where(mask > 0, a_raw, 1.0)
+        d_inv = mask / (omega2 * a * a + v)
+        delta = jnp.where(mask > 0, y - mu * a, 0.0)
+        w = a * a * d_inv
+        r = a * delta * d_inv
+        quad0 = jnp.sum(delta * delta * d_inv, axis=1, keepdims=True)
+        logdet0 = -jnp.sum(jnp.log(d_inv + (mask <= 0)), axis=1, keepdims=True)
+        n = jnp.sum(mask)
+        w_hi = w.astype(jnp.bfloat16)
+        w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        B_ref[:] = (
+            jnp.dot(w_hi, Mp_hi_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(w_hi, Mp_lo_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(w_lo, Mp_hi_ref[:], preferred_element_type=jnp.float32)
+        )
+        u_ref[:] = jnp.dot(
+            r,
+            M_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        misc_ref[:] = jnp.concatenate([quad0, logdet0 + n * LOG_2PI], axis=1)
+
+    return _kernel
+
+
+def _make_chain_kernel(k: int):
+    """Stage-B kernel: the serial Cholesky factorization chain over
+    (bs, k^2) blocks, with a shrinking active triangle — iteration j
+    only carries columns j.. of the capacitance ((k-j) k lanes), which
+    halves the average update lane work vs the full flat tile."""
+
+    def _kernel(B_ref, u_ref, misc_ref, ll_ref):
+        u = u_ref[:]
+        misc = misc_ref[:]
+        quad0 = misc[:, 0:1]
+        logdet0 = misc[:, 1:2]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        eye_head = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) // k
+            == jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) % k
+        ).astype(jnp.float32)
+        T = B_ref[:] + eye_head
+        quad = jnp.zeros_like(quad0)
+        logdet = jnp.zeros_like(logdet0)
+        for j in range(k):
+            dj = T[:, j : j + 1]
+            logdet = logdet + jnp.log(dj)
+            inv_sqrt = jax.lax.rsqrt(dj)
+            lower = (lane >= j).astype(jnp.float32)
+            col = T[:, :k] * inv_sqrt * lower
+            tj = u[:, j : j + 1] * inv_sqrt
+            quad = quad + tj * tj
+            u = u - tj * col
+            rem = k - j - 1
+            if rem:
+                i_idx = jax.lax.broadcasted_iota(jnp.int32, (k, rem * k), 0)
+                p_idx = jax.lax.broadcasted_iota(jnp.int32, (k, rem * k), 1)
+                Rj = (p_idx // k + j + 1 == i_idx).astype(jnp.float32)
+                rep = jnp.dot(
+                    col,
+                    Rj,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                tile = pltpu.repeat(col, rem, axis=1)
+                T = T[:, k:] - rep * tile
+        ll_ref[:] = -0.5 * (quad0 - quad + logdet0 + logdet)
+
+    return _kernel
 
 
 def _make_kernel(k: int, has_extra: bool):
@@ -227,6 +353,51 @@ def batched_log_mvnpdf_pallas(
     if extra is not None:
         in_specs.append(blk_spec)
         args.append(extra)
+
+    if _SPLIT_CHAIN:
+        vmem = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        B, u, misc = pl.pallas_call(
+            _make_cap_kernel(k, extra is not None),
+            grid=(n_blocks,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec(
+                    (block_s, k * k), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (block_s, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (block_s, 2), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((S_pad, k * k), jnp.float32),
+                jax.ShapeDtypeStruct((S_pad, k), jnp.float32),
+                jax.ShapeDtypeStruct((S_pad, 2), jnp.float32),
+            ),
+            compiler_params=vmem,
+            interpret=interpret,
+        )(*args)
+        bs2 = _chain_block_s(S_pad)
+        (ll,) = pl.pallas_call(
+            _make_chain_kernel(k),
+            grid=(S_pad // bs2,),
+            in_specs=[
+                pl.BlockSpec(
+                    (bs2, k * k), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((bs2, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bs2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((bs2, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(jax.ShapeDtypeStruct((S_pad, 1), jnp.float32),),
+            compiler_params=vmem,
+            interpret=interpret,
+        )(B, u, misc)
+        return ll[:S, 0]
 
     (ll,) = pl.pallas_call(
         _make_kernel(k, extra is not None),

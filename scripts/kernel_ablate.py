@@ -189,6 +189,151 @@ def make_kernel(stage: str):
     return _kernel
 
 
+def build_decoupled(bs2: int, tri: bool = False):
+    """Two-kernel split: kernel A (per 200 x N block) does the
+    elementwise assembly + MXU dots and writes B/u/quad0/logdet0 to HBM;
+    kernel B runs the serial Cholesky chain over (bs2, k*k) blocks —
+    no (BS, N) live set, so the chain's per-issue latency amortizes over
+    10x more rows.  Extra HBM: ~(S, k*k+k+2) f32 written+read = ~34 MB
+    round trip per call (~40 us at HBM peak)."""
+    k = K
+
+    def ka(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, B_ref, u_ref, misc_ref):
+        rows = rows_ref[:]
+        y = rows[0:1, :]
+        mu = rows[1:2, :]
+        omega2 = rows[2:3, :]
+        v = rows[3:4, :]
+        mask = rows[4:5, :]
+        a = jnp.where(mask > 0, a_ref[:], 1.0)
+        d_inv = mask / (omega2 * a * a + v)
+        delta = jnp.where(mask > 0, y - mu * a, 0.0)
+        w = a * a * d_inv
+        r = a * delta * d_inv
+        quad0 = jnp.sum(delta * delta * d_inv, axis=1, keepdims=True)
+        logdet0 = -jnp.sum(jnp.log(d_inv + (mask <= 0)), axis=1, keepdims=True)
+        n = jnp.sum(mask)
+        w_hi = w.astype(jnp.bfloat16)
+        w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        B_ref[:] = (
+            jnp.dot(w_hi, Mp_hi_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(w_hi, Mp_lo_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(w_lo, Mp_hi_ref[:], preferred_element_type=jnp.float32)
+        )
+        u_ref[:] = jnp.dot(r, M_ref[:], preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        misc_ref[:] = jnp.concatenate(
+            [quad0, logdet0 + n * LOG_2PI], axis=1)
+
+    def kb(B_ref, u_ref, misc_ref, ll_ref):
+        u = u_ref[:]
+        misc = misc_ref[:]
+        quad0 = misc[:, 0:1]
+        logdet0 = misc[:, 1:2]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        quad = jnp.zeros_like(quad0)
+        logdet = jnp.zeros_like(logdet0)
+        if tri:
+            eye_head = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) // k
+                == jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) % k
+            ).astype(jnp.float32)
+            T = B_ref[:] + eye_head
+            for j in range(k):
+                dj = T[:, j : j + 1]
+                logdet = logdet + jnp.log(dj)
+                inv_sqrt = jax.lax.rsqrt(dj)
+                lower = (lane >= j).astype(jnp.float32)
+                col = T[:, :k] * inv_sqrt * lower
+                tj = u[:, j : j + 1] * inv_sqrt
+                quad = quad + tj * tj
+                u = u - tj * col
+                rem = k - j - 1
+                if rem:
+                    i_idx = jax.lax.broadcasted_iota(jnp.int32, (k, rem * k), 0)
+                    p_idx = jax.lax.broadcasted_iota(jnp.int32, (k, rem * k), 1)
+                    Rj = (p_idx // k + j + 1 == i_idx).astype(jnp.float32)
+                    rep = jnp.dot(col, Rj, preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+                    tile = pltpu.repeat(col, rem, axis=1)
+                    T = T[:, k:] - rep * tile
+        else:
+            p_idx = jax.lax.broadcasted_iota(jnp.int32, (k, k * k), 1)
+            i_idx = jax.lax.broadcasted_iota(jnp.int32, (k, k * k), 0)
+            R = (p_idx // k == i_idx).astype(jnp.float32)
+            eye_flat = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) // k
+                == jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) % k
+            ).astype(jnp.float32)
+            A = B_ref[:] + eye_flat
+            for j in range(k):
+                base = j * k
+                dj = A[:, base + j : base + j + 1]
+                logdet = logdet + jnp.log(dj)
+                inv_sqrt = jax.lax.rsqrt(dj)
+                lower = (lane >= j).astype(jnp.float32)
+                col = A[:, base : base + k] * inv_sqrt * lower
+                tj = u[:, j : j + 1] * inv_sqrt
+                quad = quad + tj * tj
+                u = u - tj * col
+                if j < k - 1:
+                    rep = jnp.dot(col, R, preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+                    tile = pltpu.repeat(col, k, axis=1)
+                    A = A - rep * tile
+        ll_ref[:] = -0.5 * (quad0 - quad + logdet0 + logdet)
+
+    blk = pl.BlockSpec((BS, N), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    in_specs_a = [
+        pl.BlockSpec((5, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, K * K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, K * K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        blk,
+    ]
+
+    @jax.jit
+    def f(rows, M, Mp, a):
+        Mp_hi = Mp.astype(jnp.bfloat16)
+        Mp_lo = (Mp - Mp_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        B, u, misc = pl.pallas_call(
+            ka,
+            grid=(S // BS,),
+            in_specs=in_specs_a,
+            out_specs=(
+                pl.BlockSpec((BS, K * K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BS, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BS, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((S, K * K), jnp.float32),
+                jax.ShapeDtypeStruct((S, K), jnp.float32),
+                jax.ShapeDtypeStruct((S, 2), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+        )(rows, M, Mp_hi, Mp_lo, a)
+        (ll,) = pl.pallas_call(
+            kb,
+            grid=(S // bs2,),
+            in_specs=[
+                pl.BlockSpec((bs2, K * K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bs2, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bs2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(pl.BlockSpec((bs2, 1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM),),
+            out_shape=(jax.ShapeDtypeStruct((S, 1), jnp.float32),),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+        )(B, u, misc)
+        return ll
+
+    return f
+
+
 def build(stage):
     blk = pl.BlockSpec((BS, N), lambda i: (i, 0), memory_space=pltpu.VMEM)
     in_specs = [
@@ -250,8 +395,14 @@ def main():
                 tot += e["dur"] / 1e3
         return tot
 
-    for stage in ["full", "full_split", "full_split2"]:
-        f = build(stage)
+    stages = sys.argv[1:] or ["full", "decoupled_1000", "decoupled_2000",
+                              "decoupled_2500", "decoupled_tri_2000"]
+    for stage in stages:
+        if stage.startswith("decoupled"):
+            parts = stage.split("_")
+            f = build_decoupled(int(parts[-1]), tri="tri" in parts)
+        else:
+            f = build(stage)
         np.asarray(f(rows, M, Mp, a_list[0]))  # compile
         tdir = f"/tmp/ablate_{stage}"
         os.system(f"rm -rf {tdir}")
@@ -261,7 +412,7 @@ def main():
                 o.copy_to_host_async()
             for o in outs:
                 np.asarray(o)
-        print(f"{stage:<16} {device_ms(tdir) / REPS:7.3f} ms/call device",
+        print(f"{stage:<20} {device_ms(tdir) / REPS:7.3f} ms/call device",
               flush=True)
 
 
@@ -277,9 +428,11 @@ def accuracy():
     a_np = rng.uniform(0.3, 1.0, (S, N)).astype(np.float32)
 
     f_full = build("full"); f_split = build("full_split2")
+    f_dec = build_decoupled(2000)
     args = [jax.device_put(jnp.asarray(x)) for x in (rows_np, M_np, Mp_np, a_np)]
     ll_full = np.asarray(f_full(*args))[:, 0]
     ll_split = np.asarray(f_split(*args))[:, 0]
+    ll_dec = np.asarray(f_dec(*args))[:, 0]
 
     # f64 reference
     y, mu, om, v, _ = rows_np.astype(np.float64)
@@ -302,6 +455,8 @@ def accuracy():
           "max", np.abs(ll_full - lls).max())
     print("split  vs f64: median", np.median(np.abs(ll_split - lls)),
           "max", np.abs(ll_split - lls).max())
+    print("decoup vs f64: median", np.median(np.abs(ll_dec - lls)),
+          "max", np.abs(ll_dec - lls).max())
 
 
 if __name__ == "__main__":
