@@ -204,6 +204,51 @@ def spectrum_loss(
     return 0.5 * (quad + log_det + n * LOG_2PI)
 
 
+def batched_spectrum_losses(
+    p: TrainingParams, flux_centered, lya_1pz, noise_variance, mask, zqso_1pz,
+    num_forest_lines: int,
+):
+    """All per-spectrum negative log likelihoods as one batched
+    computation: the (Q, k, k) capacitance matrices come from a single
+    (Q, R) x (R, k^2) matmul against the outer-product basis of M, and
+    the Q small Cholesky factorizations run as the unrolled rank-1
+    chain (``ops.logmvn.batched_quad_logdet``) — XLA's batched
+    ``cholesky``/``triangular_solve`` on (Q, 20, 20) problems lower to
+    the same pathological loops the inference path measured at ~50x the
+    unrolled chain.  Mathematically identical to vmapping
+    ``spectrum_loss`` (pinned by tests/test_training.py).
+    """
+    from ..ops.logmvn import batched_quad_logdet
+
+    omega2 = jnp.exp(2.0 * p.log_omega)
+    c_0 = jnp.exp(p.log_c_0)
+    tau_0 = jnp.exp(p.log_tau_0)
+    beta = jnp.exp(p.log_beta)
+
+    tau = _forest_optical_depth(lya_1pz, zqso_1pz, tau_0, beta, num_forest_lines)
+    scaling = 1.0 - jnp.exp(-tau) + c_0
+    d = noise_variance + omega2 * scaling**2  # (Q, R)
+
+    delta = jnp.where(mask, flux_centered, 0.0)
+    d_safe = jnp.where(mask, d, 1.0)
+    d_inv = jnp.where(mask, 1.0 / d_safe, 0.0)
+
+    k = p.M.shape[-1]
+    M_pair = (p.M[:, :, None] * p.M[:, None, :]).reshape(p.M.shape[0], k * k)
+    B = jnp.eye(k, dtype=delta.dtype) + jnp.matmul(
+        d_inv, M_pair, precision=jax.lax.Precision.HIGHEST
+    ).reshape(-1, k, k)  # (Q, k, k)
+    u = jnp.matmul(
+        d_inv * delta, p.M, precision=jax.lax.Precision.HIGHEST
+    )  # (Q, k)
+
+    corr, log_det_B = batched_quad_logdet(B, u)
+    quad = jnp.sum(delta * delta * d_inv, axis=-1) - corr
+    log_det = jnp.sum(jnp.where(mask, jnp.log(d_safe), 0.0), axis=-1) + log_det_B
+    n = jnp.sum(mask, axis=-1)
+    return 0.5 * (quad + log_det + n * LOG_2PI)  # (Q,)
+
+
 def total_objective(
     p: TrainingParams,
     flux_centered,
@@ -215,11 +260,10 @@ def total_objective(
 ):
     """Sum of per-spectrum losses plus the Gaussian priors on tau_0 and
     beta (reference: objective_lyseries.m:42-76)."""
-    losses = jax.vmap(
-        lambda y, z1, v, m, zq: spectrum_loss(
-            y, z1, v, m, zq, p, params.num_forest_lines
-        )
-    )(flux_centered, lya_1pz, noise_variance, mask, zqso_1pz)
+    losses = batched_spectrum_losses(
+        p, flux_centered, lya_1pz, noise_variance, mask, zqso_1pz,
+        params.num_forest_lines,
+    )
     nlog_p = jnp.sum(losses)
 
     # Kim et al. (2007) priors
@@ -232,7 +276,7 @@ def total_objective(
     return nlog_p
 
 
-@partial(jax.jit, static_argnames=("params", "num_iterations"))
+@partial(jax.jit, static_argnames=("params", "num_iterations", "objective"))
 def fit_lbfgs(
     p0: TrainingParams,
     flux_centered,
@@ -242,13 +286,17 @@ def fit_lbfgs(
     zqso_1pz,
     params: Parameters,
     num_iterations: int = 200,
+    objective=None,
 ):
     """L-BFGS maximum-likelihood fit (reference: minFunc L-BFGS,
-    learn_qso_model_meanflux.m:161-162)."""
+    learn_qso_model_meanflux.m:161-162).  ``objective`` overrides the
+    loss (same signature as ``total_objective``; benchmarks only)."""
     import optax
 
+    obj = total_objective if objective is None else objective
+
     def loss_fn(p):
-        return total_objective(
+        return obj(
             p, flux_centered, lya_1pz, noise_variance, mask, zqso_1pz, params
         )
 

@@ -76,6 +76,45 @@ def test_spectrum_loss_matches_dense_logpdf():
     np.testing.assert_allclose(got, ref, rtol=1e-9)
 
 
+def test_batched_losses_match_vmapped_spectrum_loss():
+    """The batched objective path (one matmul against the outer-product
+    basis + unrolled Cholesky chain) equals vmapping the per-spectrum
+    reference loss, in value and in gradient."""
+    from gpy_dla_detection_tpu.models.training import batched_spectrum_losses
+
+    Q = 5
+    ys, zs1, vs, ms, zqs = [], [], [], [], []
+    for q in range(Q):
+        p, y, lya_1pz, v, mask, zqso = _tiny_problem(seed=10 + q)
+        ys.append(np.where(mask, y, 0.0)); zs1.append(lya_1pz)
+        vs.append(v); ms.append(mask); zqs.append(zqso + 0.1 * q)
+    args = (
+        jnp.asarray(np.stack(ys)), jnp.asarray(np.stack(zs1)),
+        jnp.asarray(np.stack(vs)), jnp.asarray(np.stack(ms)),
+        jnp.asarray(np.asarray(zqs)),
+    )
+    L = 31
+    got = batched_spectrum_losses(p, *args, L)
+    ref = jax.vmap(
+        lambda y, z1, v, m, zq: spectrum_loss(y, z1, v, m, zq, p, L)
+    )(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10)
+
+    g_got = jax.grad(lambda pp: jnp.sum(batched_spectrum_losses(pp, *args, L)))(p)
+    g_ref = jax.grad(
+        lambda pp: jnp.sum(
+            jax.vmap(
+                lambda y, z1, v, m, zq: spectrum_loss(y, z1, v, m, zq, pp, L)
+            )(*args)
+        )
+    )(p)
+    for name in TrainingParams._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(g_got, name)), np.asarray(getattr(g_ref, name)),
+            rtol=1e-8, atol=1e-10,
+        )
+
+
 def test_gradients_match_finite_differences():
     """jax.grad of the objective vs central finite differences — the
     analog of validating the reference's five hand-derived gradient
