@@ -334,6 +334,169 @@ def build_decoupled(bs2: int, tri: bool = False):
     return f
 
 
+def build_chain_only(bs2: int, variant: str):
+    """Stage-B (factorization chain) in isolation, fed precomputed
+    B/u/misc — measures the chain's cost without the capacitance stage.
+
+    variant:
+      row    — production orientation: (S, k*k) blocks, samples on
+               sublanes, k*k on lanes; shrinking triangle.  Every
+               iteration's ``T[:, k:]`` slice shifts the whole tile by
+               k=20 LANES — a full cross-lane relayout per iteration.
+      T_full — transposed: (k*k, bs) blocks, samples on LANES.  The
+               tail update touches the full tile but involves no
+               slicing at all (col is zero-masked below the pivot, so
+               the outer product vanishes outside the trailing block);
+               tile/rep build along SUBLANES (axis-0 repeat + one
+               constant-matrix MXU dot with the contraction on k).
+      T_tri  — transposed + shrinking triangle via sublane slices.
+    """
+    k = K
+
+    def kb_row(B_ref, u_ref, misc_ref, ll_ref):
+        u = u_ref[:]
+        misc = misc_ref[:]
+        quad0 = misc[:, 0:1]
+        logdet0 = misc[:, 1:2]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        eye_head = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) // k
+            == jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) % k
+        ).astype(jnp.float32)
+        T = B_ref[:] + eye_head
+        quad = jnp.zeros_like(quad0)
+        logdet = jnp.zeros_like(logdet0)
+        for j in range(k):
+            dj = T[:, j : j + 1]
+            logdet = logdet + jnp.log(dj)
+            inv_sqrt = jax.lax.rsqrt(dj)
+            lower = (lane >= j).astype(jnp.float32)
+            col = T[:, :k] * inv_sqrt * lower
+            tj = u[:, j : j + 1] * inv_sqrt
+            quad = quad + tj * tj
+            u = u - tj * col
+            rem = k - j - 1
+            if rem:
+                i_idx = jax.lax.broadcasted_iota(jnp.int32, (k, rem * k), 0)
+                p_idx = jax.lax.broadcasted_iota(jnp.int32, (k, rem * k), 1)
+                Rj = (p_idx // k + j + 1 == i_idx).astype(jnp.float32)
+                rep = jnp.dot(col, Rj, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+                tile = pltpu.repeat(col, rem, axis=1)
+                T = T[:, k:] - rep * tile
+        ll_ref[:] = -0.5 * (quad0 - quad + logdet0 + logdet)
+
+    def kb_T(B_ref, u_ref, misc_ref, ll_ref):
+        u = u_ref[:]  # (k, bs)
+        quad0 = misc_ref[0:1, :]  # (1, bs)
+        logdet0 = misc_ref[1:2, :]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+        eye_col = (
+            jax.lax.broadcasted_iota(jnp.int32, (k * k, 1), 0) // k
+            == jax.lax.broadcasted_iota(jnp.int32, (k * k, 1), 0) % k
+        ).astype(jnp.float32)
+        T = B_ref[:] + eye_col  # (k*k, bs)
+        quad = jnp.zeros_like(quad0)
+        logdet = jnp.zeros_like(logdet0)
+        if variant == "T_tri":
+            # iteration j carries rows j*k.. (columns j.. of A)
+            for j in range(k):
+                # T's local row 0 is original row j*k, so the pivot
+                # (original row j*k+j) is local row j
+                dj = T[j : j + 1, :]
+                logdet = logdet + jnp.log(dj)
+                inv_sqrt = jax.lax.rsqrt(dj)
+                lower = (sub >= j).astype(jnp.float32)
+                col = T[:k, :] * inv_sqrt * lower  # (k, bs)
+                tj = u[j : j + 1, :] * inv_sqrt
+                quad = quad + tj * tj
+                u = u - tj * col
+                rem = k - j - 1
+                if rem:
+                    i_idx = jax.lax.broadcasted_iota(
+                        jnp.int32, (rem * k, k), 0)
+                    p_idx = jax.lax.broadcasted_iota(
+                        jnp.int32, (rem * k, k), 1)
+                    Rj = (i_idx // k + j + 1 == p_idx).astype(jnp.float32)
+                    rep = jnp.dot(Rj, col,
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+                    tile = pltpu.repeat(col, rem, axis=0)
+                    T = T[k:, :] - rep * tile
+        else:  # T_full: no slicing anywhere, col's zero-mask confines
+            # the outer product to the trailing block
+            i_full = jax.lax.broadcasted_iota(jnp.int32, (k * k, k), 0)
+            p_full = jax.lax.broadcasted_iota(jnp.int32, (k * k, k), 1)
+            Rfull = (i_full // k == p_full).astype(jnp.float32)
+            for j in range(k):
+                dj = T[j * k + j : j * k + j + 1, :]  # (1, bs)
+                logdet = logdet + jnp.log(dj)
+                inv_sqrt = jax.lax.rsqrt(dj)
+                lower = (sub >= j).astype(jnp.float32)
+                col = T[j * k : j * k + k, :] * inv_sqrt * lower  # (k, bs)
+                tj = u[j : j + 1, :] * inv_sqrt
+                quad = quad + tj * tj
+                u = u - tj * col
+                if j < k - 1:
+                    rep = jnp.dot(Rfull, col,
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+                    tile = pltpu.repeat(col, k, axis=0)
+                    T = T - rep * tile
+        ll_ref[:] = -0.5 * (quad0 - quad + logdet0 + logdet)
+
+    # the lane (sample) dimension of a transposed block must be a
+    # multiple of 128 (Mosaic); S=10000 has no such tiling, so the
+    # transposed variants run padded to S_T=10240
+    S_T = 10240
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    if variant == "row":
+
+        @jax.jit
+        def f(B, u, misc):
+            (ll,) = pl.pallas_call(
+                kb_row,
+                grid=(S // bs2,),
+                in_specs=[
+                    pl.BlockSpec((bs2, K * K), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bs2, K), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bs2, 2), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(pl.BlockSpec((bs2, 1), lambda i: (i, 0),
+                                        memory_space=pltpu.VMEM),),
+                out_shape=(jax.ShapeDtypeStruct((S, 1), jnp.float32),),
+                compiler_params=vmem,
+            )(B, u, misc)
+            return ll
+
+        return f
+
+    @jax.jit
+    def fT(BT, uT, miscT):
+        (ll,) = pl.pallas_call(
+            kb_T,
+            grid=(S_T // bs2,),
+            in_specs=[
+                pl.BlockSpec((K * K, bs2), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, bs2), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, bs2), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(pl.BlockSpec((1, bs2), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM),),
+            out_shape=(jax.ShapeDtypeStruct((1, S_T), jnp.float32),),
+            compiler_params=vmem,
+        )(BT, uT, miscT)
+        return ll
+
+    return fT
+
+
 def build(stage):
     blk = pl.BlockSpec((BS, N), lambda i: (i, 0), memory_space=pltpu.VMEM)
     in_specs = [
@@ -395,9 +558,59 @@ def main():
                 tot += e["dur"] / 1e3
         return tot
 
+    # chain-only variants ("chain_<variant>_<bs>") get precomputed
+    # SPD capacitances: B = G G^T + small diag jitter, flat (S, k*k)
+    def chain_inputs(transposed: bool, seed: int):
+        r2 = np.random.default_rng(seed)
+        G = r2.normal(0, 1.0, (S, K, 6))
+        Bm = np.einsum("ska,sla->skl", G, G) + (
+            np.eye(K) * r2.uniform(1.0, 3.0, (S, 1, 1))
+        )
+        Bf = Bm.reshape(S, K * K).astype(np.float32)
+        uf = r2.normal(0, 1.0, (S, K)).astype(np.float32)
+        mf = r2.normal(0, 10.0, (S, 2)).astype(np.float32)
+        if transposed:
+            # pad the sample axis to 10240 (identity systems) so the
+            # lane dimension tiles by 128
+            pad = 10240 - S
+            Bf = np.concatenate(
+                [Bf, np.broadcast_to(
+                    np.eye(K).reshape(1, K * K), (pad, K * K)
+                ).astype(np.float32)], axis=0)
+            uf = np.concatenate([uf, np.zeros((pad, K), np.float32)], axis=0)
+            mf = np.concatenate([mf, np.zeros((pad, 2), np.float32)], axis=0)
+            return (jax.device_put(jnp.asarray(Bf.T.copy())),
+                    jax.device_put(jnp.asarray(uf.T.copy())),
+                    jax.device_put(jnp.asarray(mf.T.copy())))
+        return (jax.device_put(jnp.asarray(Bf)),
+                jax.device_put(jnp.asarray(uf)),
+                jax.device_put(jnp.asarray(mf)))
+
     stages = sys.argv[1:] or ["full", "decoupled_1000", "decoupled_2000",
                               "decoupled_2500", "decoupled_tri_2000"]
     for stage in stages:
+        if stage.startswith("chain_"):
+            variant, bs2 = stage[len("chain_"):].rsplit("_", 1)
+            f = build_chain_only(int(bs2), variant)
+            ins = [chain_inputs(variant != "row", s) for s in range(4)]
+            out0 = np.asarray(f(*ins[0]))  # compile
+            # cross-variant correctness: all variants factor the same
+            # seed-0 SPD systems, so ll must agree with the row layout
+            f_row = build_chain_only(2000, "row")
+            row0 = np.asarray(f_row(*chain_inputs(False, 0)))
+            err = np.abs(out0.reshape(-1)[:S] - row0.reshape(-1)).max()
+            assert err < 1e-3, f"{stage} mismatch vs row: {err}"
+            tdir = f"/tmp/ablate_{stage}"
+            os.system(f"rm -rf {tdir}")
+            with jax.profiler.trace(tdir):
+                outs = [f(*ins[i % 4]) for i in range(REPS)]
+                for o in outs:
+                    o.copy_to_host_async()
+                for o in outs:
+                    np.asarray(o)
+            print(f"{stage:<20} {device_ms(tdir) / REPS:7.3f} ms/call device",
+                  flush=True)
+            continue
         if stage.startswith("decoupled"):
             parts = stage.split("_")
             f = build_decoupled(int(parts[-1]), tri="tri" in parts)
@@ -461,4 +674,7 @@ def accuracy():
 
 if __name__ == "__main__":
     main()
-    accuracy()
+    # the f64 accuracy sweep compiles 3 extra kernels; skip it when
+    # ablating specific stages from the CLI
+    if not sys.argv[1:] or "accuracy" in sys.argv[1:]:
+        accuracy()

@@ -113,3 +113,46 @@ def test_batched_pallas_kernel_small_rank():
     b = np.asarray(batched_log_mvnpdf(*args, jnp.asarray(absorption), use_pallas=True))
     assert np.isfinite(b).all()
     np.testing.assert_allclose(a, b, atol=5e-3 * np.mean(np.abs(a)))
+
+
+def test_pallas_chain_layouts_agree():
+    """Row-layout and transposed (samples-on-lanes) factorization-chain
+    kernels must agree with the XLA composition, including when the
+    sample count needs lane padding (S not a multiple of 128) and with
+    a chained ``extra`` factor (ops/logmvn_pallas.py)."""
+    import jax.numpy as jnp
+
+    from gpy_dla_detection_tpu.ops.logmvn import batched_log_mvnpdf
+    from gpy_dla_detection_tpu.ops.logmvn_pallas import (
+        batched_log_mvnpdf_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    N, k, S = 512, 4, 72  # S=72: pads to 80 rows, then to 128 lanes
+    M = (rng.normal(size=(N, k)) / np.sqrt(k) * 0.1).astype(np.float32)
+    y = (1 + 0.1 * rng.normal(size=N)).astype(np.float32)
+    mu = np.ones(N, np.float32)
+    omega2 = rng.uniform(0.01, 0.05, N).astype(np.float32)
+    v = rng.uniform(0.02, 0.1, N).astype(np.float32)
+    mask = rng.uniform(size=N) > 0.1
+    absorption = np.exp(-rng.random((S, N))).astype(np.float32)
+    extra = np.exp(-rng.random((S, N))).astype(np.float32)
+
+    args = [jnp.asarray(x) for x in (y, mu, M, omega2, v, mask)]
+    A = jnp.asarray(absorption)
+    ref = np.asarray(
+        batched_log_mvnpdf(
+            *args, A, use_pallas=False, extra=jnp.asarray(extra)
+        )
+    )
+    for chain_t in (False, True):
+        got = np.asarray(
+            batched_log_mvnpdf_pallas(
+                *args, A, pair_basis(args[2]), k,
+                interpret=True, extra=jnp.asarray(extra), chain_t=chain_t,
+            )
+        )
+        np.testing.assert_allclose(
+            got, ref, atol=5e-3 * np.mean(np.abs(ref)),
+            err_msg=f"chain_t={chain_t}",
+        )
