@@ -16,13 +16,13 @@ conformance path).
 By default the evaluation is SPLIT in two kernels: stage A (per
 (200, N) block) does the noise assembly and the MXU capacitance /
 projection dots and writes (S, k*k)+(S, k)+(S, 2) intermediates to
-HBM; stage B re-reads them TRANSPOSED in (k*k, 1024) blocks — samples
-on lanes — and runs the serial factorization chain with a shrinking
-active triangle entirely as sublane operations.  The row layout
-relayouts the full lane dimension every chain iteration; transposing
-cuts the chain 0.976 -> 0.312 ms/call at S=10k (PERFORMANCE.md).
-``GPY_DLA_SPLIT_CHAIN=0`` restores the fused kernel,
-``GPY_DLA_CHAIN_T=0`` the row-layout chain.
+HBM; stage B re-reads them in (1000, k*k) row blocks, TRANSPOSES each
+block once in VMEM, and runs the serial factorization chain with
+samples on lanes and a shrinking active triangle entirely as sublane
+operations.  The row-layout chain relayouts the full lane dimension
+every iteration; the transposed math cuts it 0.976 -> 0.350 ms/call
+all-in at S=10k (PERFORMANCE.md).  ``GPY_DLA_SPLIT_CHAIN=0`` restores
+the fused kernel, ``GPY_DLA_CHAIN_T=0`` the row-layout chain.
 """
 
 from __future__ import annotations
@@ -42,10 +42,11 @@ from .logmvn import LOG_2PI
 # single fused kernel (kept for ablation/rollback)
 _SPLIT_CHAIN: bool = os.environ.get("GPY_DLA_SPLIT_CHAIN", "1") == "1"
 
-# transposed chain layout (samples on LANES, k*k on sublanes): every
-# per-iteration slice/broadcast of the factorization chain becomes a
-# sublane operation, so no iteration relayouts the lane dimension.
-# Measured 0.976 (row layout) -> 0.312 ms/call at S=10k
+# transposed chain math (samples on LANES, k*k on sublanes, one
+# in-VMEM block transpose at kernel entry): every per-iteration
+# slice/broadcast of the factorization chain becomes a sublane
+# operation, so no iteration relayouts the lane dimension.  Measured
+# 0.976 (row layout) -> 0.350 ms/call at S=10k
 # (scripts/kernel_ablate.py chain_*); GPY_DLA_CHAIN_T=0 restores the
 # row-layout chain.
 _CHAIN_T: bool = os.environ.get("GPY_DLA_CHAIN_T", "1") == "1"
@@ -192,38 +193,34 @@ def _make_chain_kernel(k: int):
     return _kernel
 
 
-def _chain_block_s_t(s_pad: int) -> int:
-    """Sample-block size for the TRANSPOSED chain kernel: samples ride
-    the lane dimension, so blocks must be 128-aligned divisors of the
-    (128-aligned) padded sample count.  1024 measured best of
-    {512, 640, 1024, 2048} at S=10k (scripts/kernel_ablate.py)."""
-    for b in range(min(1024, s_pad), 127, -128):
-        if s_pad % b == 0:
-            return b
-    return s_pad
-
-
 def _make_chain_kernel_t(k: int):
-    """Transposed stage-B kernel: blocks are (k*k, bs) with SAMPLES ON
-    LANES.  Each lane owns one sample's serial factorization, so the
-    per-iteration pivot reads, masks, pltpu.repeat tiling, and the
-    shrinking-triangle slice (``T[k:, :]``) are all sublane operations —
-    the lane dimension is never sliced or relayouted (the row layout
-    pays a full cross-lane relayout per iteration: 0.976 -> 0.312
-    ms/call).  Iteration j carries rows j*k.. (columns j.. of the
-    symmetric capacitance); its local row 0 is original row j*k, so the
-    pivot sits at local row j."""
+    """Transposed stage-B kernel: row-layout (bs, k*k) HBM blocks are
+    transposed ONCE in VMEM at kernel entry, then the factorization
+    runs with SAMPLES ON LANES.  Each lane owns one sample's serial
+    factorization, so the per-iteration pivot reads, masks,
+    pltpu.repeat tiling, and the shrinking-triangle slice (``T[k:, :]``)
+    are all sublane operations — the lane dimension is never sliced or
+    relayouted (the row layout pays a full cross-lane relayout per
+    iteration: 0.976 -> 0.312 ms/call chain-only).  Reading row blocks
+    and transposing in VMEM beats transposing in HBM between the
+    stages: 0.350 ms/call all-in vs 0.312 + ~0.12 ms of XLA
+    transpose+lane-pad copies, and it needs no 128-lane padding of the
+    sample axis (scripts/kernel_ablate.py chain_xt_*).  Iteration j
+    carries rows j*k.. (columns j.. of the symmetric capacitance); its
+    local row 0 is original row j*k, so the pivot sits at local row
+    j."""
 
     def _kernel(B_ref, u_ref, misc_ref, ll_ref):
-        u = u_ref[:]  # (k, bs)
-        quad0 = misc_ref[0:1, :]  # (1, bs)
-        logdet0 = misc_ref[1:2, :]
-        sub = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
         eye_col = (
             jax.lax.broadcasted_iota(jnp.int32, (k * k, 1), 0) // k
             == jax.lax.broadcasted_iota(jnp.int32, (k * k, 1), 0) % k
         ).astype(jnp.float32)
-        T = B_ref[:] + eye_col  # (k*k, bs)
+        T = B_ref[:].T + eye_col  # (k*k, bs)
+        u = u_ref[:].T  # (k, bs)
+        misc = misc_ref[:].T  # (2, bs)
+        quad0 = misc[0:1, :]  # (1, bs)
+        logdet0 = misc[1:2, :]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
         quad = jnp.zeros_like(quad0)
         logdet = jnp.zeros_like(logdet0)
         for j in range(k):
@@ -251,7 +248,8 @@ def _make_chain_kernel_t(k: int):
                 )
                 tile = pltpu.repeat(col, rem, axis=0)
                 T = T[k:, :] - rep * tile
-        ll_ref[:] = -0.5 * (quad0 - quad + logdet0 + logdet)
+        ll = -0.5 * (quad0 - quad + logdet0 + logdet)  # (1, bs)
+        ll_ref[:] = ll.T  # (bs, 1) row-layout output
 
     return _kernel
 
@@ -454,48 +452,9 @@ def batched_log_mvnpdf_pallas(
         )(*args)
         if chain_t is None:
             chain_t = _CHAIN_T
-        if chain_t:
-            # transposed chain: samples on lanes.  The lane dimension
-            # must tile by 128, so pad the sample axis up (zero rows
-            # factor the identity — no NaN risk) and transpose the
-            # stage-A intermediates in HBM (~50 us/call for the 16 MB
-            # capacitance — far below the ~0.66 ms/call chain saving).
-            S_t = -(-S_pad // 128) * 128
-            if S_t != S_pad:
-                zpad = lambda x: jnp.concatenate(
-                    [x, jnp.zeros((S_t - S_pad, x.shape[1]), x.dtype)],
-                    axis=0,
-                )
-                B, u, misc = zpad(B), zpad(u), zpad(misc)
-            bs2 = _chain_block_s_t(S_t)
-            (ll,) = pl.pallas_call(
-                _make_chain_kernel_t(k),
-                grid=(S_t // bs2,),
-                in_specs=[
-                    pl.BlockSpec(
-                        (k * k, bs2), lambda i: (0, i),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec(
-                        (k, bs2), lambda i: (0, i), memory_space=pltpu.VMEM
-                    ),
-                    pl.BlockSpec(
-                        (2, bs2), lambda i: (0, i), memory_space=pltpu.VMEM
-                    ),
-                ],
-                out_specs=(
-                    pl.BlockSpec(
-                        (1, bs2), lambda i: (0, i), memory_space=pltpu.VMEM
-                    ),
-                ),
-                out_shape=(jax.ShapeDtypeStruct((1, S_t), jnp.float32),),
-                compiler_params=vmem,
-                interpret=interpret,
-            )(B.T, u.T, misc.T)
-            return ll[0, :S]
         bs2 = _chain_block_s(S_pad)
         (ll,) = pl.pallas_call(
-            _make_chain_kernel(k),
+            _make_chain_kernel_t(k) if chain_t else _make_chain_kernel(k),
             grid=(S_pad // bs2,),
             in_specs=[
                 pl.BlockSpec(

@@ -42,6 +42,14 @@ FAST_WINDOW = 256  # two aligned chunks per window
 # correction is applied
 CF_FAR_RADIUS = 256.0
 
+# far-field (|z| > CF_FAR_RADIUS) evaluation runs only for the first
+# FAR_FIELD_LINES Lyman lines: line l's far tau is bounded by
+# N amp_l y_l / (sqrt(pi) CF_FAR_RADIUS^2), and the lines beyond 16 sum
+# to < 5e-5 absorption at the sampler's logNHI ceiling of 23 (their
+# cores/annuli remain exact via the per-line 256-pixel windows).  The
+# dense/exact path is unaffected — it is the conformance oracle.
+FAR_FIELD_LINES = 16
+
 
 def instrumental_broadening(raw):
     """Valid-mode convolution with the 7-tap SDSS instrument profile.
@@ -141,13 +149,23 @@ def _windowed_tau_parts(wavelengths, z_absorber, num_lines, sigma):
         lam_c = lam_l * one_plus_z  # line center, observed frame (S, 1)
         y_l = gam_l * inv
 
-        # cheapest (K=1) CF evaluation over all pixels; the window pass
-        # supplies the exact value inside CF_FAR_RADIUS
-        x_all = (wl_pad - lam_c) * (c_over / lam_c) * inv  # (S, P_pad)
-        ax_all = jnp.abs(x_all)
-        cf_re, _ = _wofz_cf(ax_all, jnp.full_like(x_all, y_l), terms=1)
-        far_all = ax_all * ax_all + y_l * y_l > CF_FAR_RADIUS * CF_FAR_RADIUS
-        far = far + amp * jnp.where(far_all, cf_re, 0.0)
+        # far wings over all pixels as the direct Lorentzian rational
+        # Re w(x+iy) ~ y / (sqrt(pi) (x^2+y^2)): beyond CF_FAR_RADIUS
+        # this differs from w by <= 1/(2|z|^2) ~ 7.6e-6 relative (the
+        # first dropped CF term), below every other f32 error in the
+        # pipeline, at a third of the K=1 CF arithmetic.  The window
+        # pass supplies the exact value inside CF_FAR_RADIUS.  Lines
+        # >= FAR_FIELD_LINES skip the far field entirely: their far
+        # tau at the radius-256 boundary is <= amp_l y_l /
+        # (sqrt(pi) 256^2), which summed over the dropped lines is
+        # < 5e-5 absorption even at logNHI = 23 (their saturated cores
+        # and annuli stay exact through the per-line windows).
+        if l < FAR_FIELD_LINES:
+            x_all = (wl_pad - lam_c) * (c_over / lam_c) * inv  # (S, P_pad)
+            r2_all = x_all * x_all + y_l * y_l
+            far_all = r2_all > CF_FAR_RADIUS * CF_FAR_RADIUS
+            w_far = y_l / (jnp.sqrt(jnp.asarray(jnp.pi, dtype)) * r2_all)
+            far = far + amp * jnp.where(far_all, w_far, 0.0)
 
         # chunk-aligned window start per row (see the windowed fn)
         center = chunked_searchsorted(wavelengths, lam_c[:, 0])

@@ -343,6 +343,10 @@ def build_chain_only(bs2: int, variant: str):
                sublanes, k*k on lanes; shrinking triangle.  Every
                iteration's ``T[:, k:]`` slice shifts the whole tile by
                k=20 LANES — a full cross-lane relayout per iteration.
+      xt     — row-layout HBM blocks, transposed IN VMEM at kernel
+               entry (one tile relayout per block), then the T_tri
+               math; avoids the XLA transpose + lane pad between the
+               stages entirely.
       T_full — transposed: (k*k, bs) blocks, samples on LANES.  The
                tail update touches the full tile but involves no
                slicing at all (col is zero-masked below the pivot, so
@@ -445,11 +449,70 @@ def build_chain_only(bs2: int, variant: str):
                     T = T - rep * tile
         ll_ref[:] = -0.5 * (quad0 - quad + logdet0 + logdet)
 
+    def kb_xt(B_ref, u_ref, misc_ref, ll_ref):
+        # row-layout blocks, transposed in VMEM once per block
+        T = B_ref[:].T + (
+            jax.lax.broadcasted_iota(jnp.int32, (k * k, 1), 0) // k
+            == jax.lax.broadcasted_iota(jnp.int32, (k * k, 1), 0) % k
+        ).astype(jnp.float32)  # (k*k, bs)
+        u = u_ref[:].T  # (k, bs)
+        misc = misc_ref[:].T  # (2, bs)
+        quad0 = misc[0:1, :]
+        logdet0 = misc[1:2, :]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+        quad = jnp.zeros_like(quad0)
+        logdet = jnp.zeros_like(logdet0)
+        for j in range(k):
+            dj = T[j : j + 1, :]
+            logdet = logdet + jnp.log(dj)
+            inv_sqrt = jax.lax.rsqrt(dj)
+            lower = (sub >= j).astype(jnp.float32)
+            col = T[:k, :] * inv_sqrt * lower
+            tj = u[j : j + 1, :] * inv_sqrt
+            quad = quad + tj * tj
+            u = u - tj * col
+            rem = k - j - 1
+            if rem:
+                i_idx = jax.lax.broadcasted_iota(jnp.int32, (rem * k, k), 0)
+                p_idx = jax.lax.broadcasted_iota(jnp.int32, (rem * k, k), 1)
+                Rj = (i_idx // k + j + 1 == p_idx).astype(jnp.float32)
+                rep = jnp.dot(Rj, col,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+                tile = pltpu.repeat(col, rem, axis=0)
+                T = T[k:, :] - rep * tile
+        ll = -0.5 * (quad0 - quad + logdet0 + logdet)  # (1, bs)
+        ll_ref[:] = ll.T  # (bs, 1)
+
     # the lane (sample) dimension of a transposed block must be a
     # multiple of 128 (Mosaic); S=10000 has no such tiling, so the
     # transposed variants run padded to S_T=10240
     S_T = 10240
     vmem = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    if variant == "xt":
+
+        @jax.jit
+        def fx(B, u, misc):
+            (ll,) = pl.pallas_call(
+                kb_xt,
+                grid=(S // bs2,),
+                in_specs=[
+                    pl.BlockSpec((bs2, K * K), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bs2, K), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bs2, 2), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(pl.BlockSpec((bs2, 1), lambda i: (i, 0),
+                                        memory_space=pltpu.VMEM),),
+                out_shape=(jax.ShapeDtypeStruct((S, 1), jnp.float32),),
+                compiler_params=vmem,
+            )(B, u, misc)
+            return ll
+
+        return fx
+
     if variant == "row":
 
         @jax.jit
@@ -592,7 +655,10 @@ def main():
         if stage.startswith("chain_"):
             variant, bs2 = stage[len("chain_"):].rsplit("_", 1)
             f = build_chain_only(int(bs2), variant)
-            ins = [chain_inputs(variant != "row", s) for s in range(4)]
+            ins = [
+                chain_inputs(variant not in ("row", "xt"), s)
+                for s in range(4)
+            ]
             out0 = np.asarray(f(*ins[0]))  # compile
             # cross-variant correctness: all variants factor the same
             # seed-0 SPD systems, so ll must agree with the row layout

@@ -158,6 +158,61 @@ def test_windowed_fast_path_matches_exact():
     assert np.median(err) < 1e-6
 
 
+def test_windowed_far_field_truncation_all_lines():
+    """With the full 31-line series at the sampler's logNHI ceiling,
+    the windowed path's far-field reductions (direct Lorentzian rational
+    + no far field beyond FAR_FIELD_LINES) must stay within the f32
+    windowed-path error budget vs the exact f64 evaluation
+    (ops/voigt.py FAR_FIELD_LINES bound)."""
+    import jax.numpy as jnp
+
+    from gpy_dla_detection_tpu.constants import THERMAL_SIGMA_CGS
+    from gpy_dla_detection_tpu.ops.voigt import (
+        _unit_lyman_series_optical_depth,
+        _unit_lyman_series_optical_depth_windowed,
+    )
+
+    wl = _wavelength_grid(1200).astype(np.float32)
+    rng = np.random.default_rng(5)
+    # z high enough that the upper series lands on the grid; NHI at the
+    # top of the sampled range where the dropped far wings are largest
+    z = rng.uniform(2.5, 2.9, size=16).astype(np.float32)
+    nhi = (10.0 ** rng.uniform(22.5, 23.0, size=16)).astype(np.float32)
+
+    tau_fast = nhi[:, None] * np.asarray(
+        _unit_lyman_series_optical_depth_windowed(
+            jnp.asarray(wl), jnp.asarray(z), 31, THERMAL_SIGMA_CGS
+        )
+    )
+    # same-precision baseline: isolates the windowed-path reductions
+    # from the intrinsic f32 core-cancellation error (the plain exact
+    # f32 evaluation itself reaches ~1.7e-2 vs f64 at a saturated core
+    # pixel at these columns — measured identical with and without the
+    # far-field reductions)
+    tau_f32 = nhi[:, None] * np.asarray(
+        _unit_lyman_series_optical_depth(
+            jnp.asarray(wl), jnp.asarray(z), 31, THERMAL_SIGMA_CGS
+        )
+    )
+    err32 = np.abs(
+        np.exp(-tau_fast.astype(np.float64))
+        - np.exp(-tau_f32.astype(np.float64))
+    )
+    assert err32.max() < 5e-5, err32.max()
+
+    tau_exact = nhi[:, None].astype(np.float64) * np.asarray(
+        _unit_lyman_series_optical_depth(
+            jnp.asarray(wl, jnp.float64),
+            jnp.asarray(z, jnp.float64),
+            31,
+            THERMAL_SIGMA_CGS,
+        )
+    )
+    err = np.abs(np.exp(-tau_fast.astype(np.float64)) - np.exp(-tau_exact))
+    assert err.max() < 2e-2, err.max()  # f32 core cancellation bound
+    assert np.median(err) < 1e-6, np.median(err)
+
+
 def test_absorption_tail_pallas_matches_jnp():
     """The fused exp+broadening kernel (interpret mode) equals the jnp
     composition, including the non-divisor sample-count pad path."""
