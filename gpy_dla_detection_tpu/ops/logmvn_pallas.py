@@ -51,6 +51,13 @@ _SPLIT_CHAIN: bool = os.environ.get("GPY_DLA_SPLIT_CHAIN", "1") == "1"
 # row-layout chain.
 _CHAIN_T: bool = os.environ.get("GPY_DLA_CHAIN_T", "1") == "1"
 
+# rank-2 steps in the transposed chain: factor columns (j, j+1) per
+# iteration and apply ONE combined trailing update, halving the number
+# of read-modify-write passes over the VMEM-resident T (the chain's
+# dominant cost is exactly those passes; the arithmetic is unchanged).
+# Requires even k; falls back to rank-1 otherwise.
+_CHAIN_R2: bool = os.environ.get("GPY_DLA_CHAIN_R2", "0") == "1"
+
 # sample-block size: multiple of the f32 sublane tile (8).  Keep the
 # per-block live set (absorption block + ~6 elementwise temporaries +
 # the (N, k^2) pair basis) comfortably under the ~16 MB VMEM budget —
@@ -254,6 +261,74 @@ def _make_chain_kernel_t(k: int):
     return _kernel
 
 
+def _make_chain_kernel_t2(k: int):
+    """Rank-2 transposed stage-B kernel: same layout as
+    :func:`_make_chain_kernel_t` (samples on lanes after one in-VMEM
+    block transpose), but each iteration factors columns (j, j+1) and
+    subtracts BOTH outer products from the trailing triangle in one
+    fused pass — T is read and written k/2 times instead of k.  Column
+    j+1's own block is pre-updated with col_j first (a single (k, bs)
+    expression), preserving the exact rank-1 arithmetic.  Requires even
+    k (the wrapper falls back to the rank-1 chain otherwise)."""
+    assert k % 2 == 0
+
+    def _kernel(B_ref, u_ref, misc_ref, ll_ref):
+        eye_col = (
+            jax.lax.broadcasted_iota(jnp.int32, (k * k, 1), 0) // k
+            == jax.lax.broadcasted_iota(jnp.int32, (k * k, 1), 0) % k
+        ).astype(jnp.float32)
+        T = B_ref[:].T + eye_col  # (k*k, bs)
+        u = u_ref[:].T  # (k, bs)
+        misc = misc_ref[:].T  # (2, bs)
+        quad0 = misc[0:1, :]
+        logdet0 = misc[1:2, :]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+        quad = jnp.zeros_like(quad0)
+        logdet = jnp.zeros_like(logdet0)
+        for j in range(0, k, 2):
+            # T holds columns j.. as k-row blocks; column j's diagonal
+            # sits at local row j, column j+1's block at rows k..2k-1
+            dj = T[j : j + 1, :]
+            inv_j = jax.lax.rsqrt(dj)
+            col_j = T[:k, :] * inv_j * (sub >= j).astype(jnp.float32)
+            tj = u[j : j + 1, :] * inv_j
+            u = u - tj * col_j
+            # pre-update column j+1 with col_j's rank-1 term, then
+            # factor it: L[j+1, j] is col_j's row j+1
+            bcol = T[k : 2 * k, :] - col_j[j + 1 : j + 2, :] * col_j
+            dj1 = bcol[j + 1 : j + 2, :]
+            inv_j1 = jax.lax.rsqrt(dj1)
+            col_j1 = bcol * inv_j1 * (sub >= j + 1).astype(jnp.float32)
+            tj1 = u[j + 1 : j + 2, :] * inv_j1
+            u = u - tj1 * col_j1
+            quad = quad + tj * tj + tj1 * tj1
+            logdet = logdet + jnp.log(dj) + jnp.log(dj1)
+            rem = k - j - 2
+            if rem:
+                i_idx = jax.lax.broadcasted_iota(jnp.int32, (rem * k, k), 0)
+                p_idx = jax.lax.broadcasted_iota(jnp.int32, (rem * k, k), 1)
+                Rj = (i_idx // k + j + 2 == p_idx).astype(jnp.float32)
+                rep_j = jnp.dot(
+                    Rj,
+                    col_j,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                rep_j1 = jnp.dot(
+                    Rj,
+                    col_j1,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                tile_j = pltpu.repeat(col_j, rem, axis=0)
+                tile_j1 = pltpu.repeat(col_j1, rem, axis=0)
+                T = T[2 * k :, :] - rep_j * tile_j - rep_j1 * tile_j1
+        ll = -0.5 * (quad0 - quad + logdet0 + logdet)  # (1, bs)
+        ll_ref[:] = ll.T  # (bs, 1) row-layout output
+
+    return _kernel
+
+
 def _make_kernel(k: int, has_extra: bool):
     def _kernel(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, *rest):
         if has_extra:
@@ -371,10 +446,13 @@ def _make_kernel(k: int, has_extra: bool):
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret", "chain_t"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "interpret", "chain_t", "chain_r2")
+)
 def batched_log_mvnpdf_pallas(
     y, mu, M, omega2, v, mask, absorption, M_pair, k: int,
     interpret: bool = False, extra=None, chain_t: bool | None = None,
+    chain_r2: bool | None = None,
 ):
     """Fused TPU evaluation of the batched masked Woodbury log-density.
 
@@ -452,9 +530,17 @@ def batched_log_mvnpdf_pallas(
         )(*args)
         if chain_t is None:
             chain_t = _CHAIN_T
+        if chain_r2 is None:
+            chain_r2 = _CHAIN_R2
         bs2 = _chain_block_s(S_pad)
+        if chain_t and chain_r2 and k % 2 == 0:
+            chain_kernel = _make_chain_kernel_t2(k)
+        elif chain_t:
+            chain_kernel = _make_chain_kernel_t(k)
+        else:
+            chain_kernel = _make_chain_kernel(k)
         (ll,) = pl.pallas_call(
-            _make_chain_kernel_t(k) if chain_t else _make_chain_kernel(k),
+            chain_kernel,
             grid=(S_pad // bs2,),
             in_specs=[
                 pl.BlockSpec(

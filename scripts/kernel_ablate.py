@@ -449,6 +449,15 @@ def build_chain_only(bs2: int, variant: str):
                     T = T - rep * tile
         ll_ref[:] = -0.5 * (quad0 - quad + logdet0 + logdet)
 
+    def kb_xt2(B_ref, u_ref, misc_ref, ll_ref):
+        # in-VMEM transpose + RANK-2 shrinking triangle: columns
+        # (j, j+1) factored per iteration, one combined trailing pass
+        from gpy_dla_detection_tpu.ops.logmvn_pallas import (
+            _make_chain_kernel_t2,
+        )
+
+        _make_chain_kernel_t2(k)(B_ref, u_ref, misc_ref, ll_ref)
+
     def kb_xt(B_ref, u_ref, misc_ref, ll_ref):
         # row-layout blocks, transposed in VMEM once per block
         T = B_ref[:].T + (
@@ -489,12 +498,12 @@ def build_chain_only(bs2: int, variant: str):
     # transposed variants run padded to S_T=10240
     S_T = 10240
     vmem = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
-    if variant == "xt":
+    if variant in ("xt", "xt2"):
 
         @jax.jit
         def fx(B, u, misc):
             (ll,) = pl.pallas_call(
-                kb_xt,
+                kb_xt2 if variant == "xt2" else kb_xt,
                 grid=(S // bs2,),
                 in_specs=[
                     pl.BlockSpec((bs2, K * K), lambda i: (i, 0),
@@ -656,7 +665,7 @@ def main():
             variant, bs2 = stage[len("chain_"):].rsplit("_", 1)
             f = build_chain_only(int(bs2), variant)
             ins = [
-                chain_inputs(variant not in ("row", "xt"), s)
+                chain_inputs(variant not in ("row", "xt", "xt2"), s)
                 for s in range(4)
             ]
             out0 = np.asarray(f(*ins[0]))  # compile

@@ -14,6 +14,8 @@ from collections import defaultdict
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 TRACE_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jax_trace"
 
 

@@ -145,14 +145,15 @@ def test_pallas_chain_layouts_agree():
             *args, A, use_pallas=False, extra=jnp.asarray(extra)
         )
     )
-    for chain_t in (False, True):
+    for chain_t, chain_r2 in ((False, False), (True, False), (True, True)):
         got = np.asarray(
             batched_log_mvnpdf_pallas(
                 *args, A, pair_basis(args[2]), k,
                 interpret=True, extra=jnp.asarray(extra), chain_t=chain_t,
+                chain_r2=chain_r2,
             )
         )
         np.testing.assert_allclose(
             got, ref, atol=5e-3 * np.mean(np.abs(ref)),
-            err_msg=f"chain_t={chain_t}",
+            err_msg=f"chain_t={chain_t} chain_r2={chain_r2}",
         )
