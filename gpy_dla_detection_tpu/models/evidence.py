@@ -28,6 +28,7 @@ over samples that satisfy the 3000 km/s pair-separation cut.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -47,6 +48,12 @@ from .learned import SpectrumModel
 # "dla" = Lyman series only (reference: voigt.py), "lls" = Lyman series
 # plus the Lyman-limit break (reference: voigt_lls.py)
 PROFILES = {"dla": voigt_absorption, "lls": voigt_absorption_lls}
+
+# pass the chained-absorber profile rows to the likelihood kernel as
+# separate streams multiplied in VMEM (default) instead of
+# materializing their running product in HBM per level;
+# GPY_DLA_EXTRA_STREAMS=0 restores the materialized product.
+_EXTRA_STREAMS: bool = os.environ.get("GPY_DLA_EXTRA_STREAMS", "1") == "1"
 
 
 def null_log_evidence(model: SpectrumModel) -> jnp.ndarray:
@@ -122,7 +129,7 @@ def qmc_log_evidences(
     M_pair = pair_basis(model.M)
 
     # state threaded through the static level loop
-    cum_extra = None  # product of chained absorber profiles (lazy)
+    extra_factors = []  # chained absorber profile rows, one per level
     z_rows = [z_samples]  # level-k absorber redshifts, one row per chain slot
     lognhi_rows = [log_nhi_samples]
     alive = jnp.asarray(True)
@@ -160,12 +167,16 @@ def qmc_log_evidences(
             # chain the resampled absorber by gathering its precomputed
             # profile row: the (S, N) gather measures ~8 ms vs ~35 ms
             # for a fresh Voigt pass (profiler-verified; round 1 had
-            # this backwards from broken microbenchmarks).  At the
-            # first chained level the gather IS the product (the
-            # multiply with the all-ones init would cost a full (S, N)
-            # read-modify-write pass)
+            # this backwards from broken microbenchmarks).  The gathered
+            # rows are passed to the likelihood kernel as SEPARATE
+            # streams and multiplied in VMEM — materializing their
+            # running product would cost a full (S, N) read-modify-write
+            # HBM pass per level >= 3.
             gathered = jnp.take(A, base, axis=0)
-            cum_extra = gathered if cum_extra is None else cum_extra * gathered
+            if _EXTRA_STREAMS or not extra_factors:
+                extra_factors.append(gathered)
+            else:
+                extra_factors[-1] = extra_factors[-1] * gathered
             z_rows.append(z_samples[base])
             lognhi_rows.append(log_nhi_samples[base])
 
@@ -180,7 +191,7 @@ def qmc_log_evidences(
                 A,
                 M_pair,
                 use_pallas=use_pallas,
-                extra=cum_extra if k0 > 0 else None,
+                extra=tuple(extra_factors) if k0 > 0 else None,
             )
             - log_S
         )

@@ -142,9 +142,11 @@ def batched_log_mvnpdf(
         TPU/f32, XLA composition otherwise), True = force the Pallas
         kernel (interpret mode off-TPU — tests), False = force the XLA
         composition.
-    :param extra: optional second (S, N) absorption factor; the
-        effective profile is ``absorption * extra``, multiplied inside
-        the kernel (saves an HBM round trip of the product).
+    :param extra: optional second (S, N) absorption factor — or a tuple
+        of them (the chained-absorber streams of the QMC evidence loop);
+        the effective profile is ``absorption * prod(extra)``,
+        multiplied inside the kernel (saves the HBM round trips of the
+        running product).
     :return: (S,) log densities.
     """
     k = M.shape[-1]
@@ -162,7 +164,8 @@ def batched_log_mvnpdf(
         )
 
     if extra is not None:
-        absorption = absorption * extra
+        for e in extra if isinstance(extra, (tuple, list)) else (extra,):
+            absorption = absorption * e
 
     a = jnp.where(mask, absorption, 1.0)
     d = omega2 * a * a + v

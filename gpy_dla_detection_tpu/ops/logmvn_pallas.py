@@ -109,16 +109,20 @@ def _chain_block_s(s_pad: int) -> int:
     return s_pad
 
 
-def _make_cap_kernel(k: int, has_extra: bool):
+def _make_cap_kernel(k: int, n_extra: int):
     """Stage-A kernel: noise assembly + MXU dots per (BS, N) block;
     writes the flat capacitance B, projection u, and the data-space
-    quad/logdet scalars (with n log 2pi folded in) for stage B."""
+    quad/logdet scalars (with n log 2pi folded in) for stage B.
+
+    ``n_extra`` chained-absorber streams are multiplied into the
+    absorption block in VMEM — the evidence loop passes the gathered
+    per-level profile rows separately instead of materializing their
+    running product in HBM (one full (S, N) read-modify-write pass per
+    level >= 3 saved; see models/evidence.py)."""
 
     def _kernel(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, *rest):
-        if has_extra:
-            extra_ref, B_ref, u_ref, misc_ref = rest
-        else:
-            B_ref, u_ref, misc_ref = rest
+        extra_refs = rest[:n_extra]
+        B_ref, u_ref, misc_ref = rest[n_extra:]
         rows = rows_ref[:]
         y = rows[0:1, :]
         mu = rows[1:2, :]
@@ -126,7 +130,7 @@ def _make_cap_kernel(k: int, has_extra: bool):
         v = rows[3:4, :]
         mask = rows[4:5, :]
         a_raw = a_ref[:]
-        if has_extra:
+        for extra_ref in extra_refs:
             a_raw = a_raw * extra_ref[:]
         a = jnp.where(mask > 0, a_raw, 1.0)
         d_inv = mask / (omega2 * a * a + v)
@@ -329,12 +333,10 @@ def _make_chain_kernel_t2(k: int):
     return _kernel
 
 
-def _make_kernel(k: int, has_extra: bool):
+def _make_kernel(k: int, n_extra: int):
     def _kernel(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, *rest):
-        if has_extra:
-            extra_ref, ll_ref = rest
-        else:
-            (ll_ref,) = rest
+        extra_refs = rest[:n_extra]
+        (ll_ref,) = rest[n_extra:]
         # the five spectrum-level rows ride in ONE (8, N) block: five
         # separate (1, N) inputs each pad to 8 sublanes in VMEM (40 KB
         # apiece at N=1280) and the kernel sits 4 KB from the 16 MB
@@ -346,10 +348,10 @@ def _make_kernel(k: int, has_extra: bool):
         v = rows[3:4, :]
         mask = rows[4:5, :]  # f32 0/1
         a_raw = a_ref[:]  # (BS, N)
-        if has_extra:
-            # second absorption factor (the chained-absorber product)
-            # multiplied in VMEM — saves materializing A * cum_extra in
-            # HBM per level (measured ~19 ms per level at S=10k, B=16)
+        # chained-absorber factors multiplied in VMEM — saves
+        # materializing their product with A in HBM per level
+        # (measured ~19 ms per level at S=10k, B=16)
+        for extra_ref in extra_refs:
             a_raw = a_raw * extra_ref[:]
 
         # keep the elementwise live set minimal — the Mosaic stack
@@ -459,9 +461,16 @@ def batched_log_mvnpdf_pallas(
     Same contract as ops/logmvn.batched_log_mvnpdf (f32; ``interpret``
     runs the kernel through the Pallas interpreter so correctness tests
     can exercise it on the virtual CPU mesh).  ``extra`` is an optional
-    second (S, N) absorption factor multiplied in VMEM.
+    (S, N) absorption factor — or a tuple of them — multiplied into the
+    absorption block in VMEM.
     """
     S, N = absorption.shape
+    if extra is None:
+        extras = ()
+    elif isinstance(extra, (tuple, list)):
+        extras = tuple(extra)
+    else:
+        extras = (extra,)
     block_s = _block_s(N, S)
     n_blocks = -(-S // block_s)
     S_pad = n_blocks * block_s
@@ -470,8 +479,7 @@ def batched_log_mvnpdf_pallas(
             [x, jnp.ones((S_pad - S, N), x.dtype)], axis=0
         )
         absorption = pad(absorption)
-        if extra is not None:
-            extra = pad(extra)
+        extras = tuple(pad(e) for e in extras)
 
     rows = jnp.stack(
         [
@@ -499,14 +507,14 @@ def batched_log_mvnpdf_pallas(
         blk_spec,  # absorption
     ]
     args = [rows, M.astype(jnp.float32), Mp_hi, Mp_lo, absorption]
-    if extra is not None:
+    for e in extras:
         in_specs.append(blk_spec)
-        args.append(extra)
+        args.append(e)
 
     if _SPLIT_CHAIN:
         vmem = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
         B, u, misc = pl.pallas_call(
-            _make_cap_kernel(k, extra is not None),
+            _make_cap_kernel(k, len(extras)),
             grid=(n_blocks,),
             in_specs=in_specs,
             out_specs=(
@@ -559,7 +567,7 @@ def batched_log_mvnpdf_pallas(
         return ll[:S, 0]
 
     (ll,) = pl.pallas_call(
-        _make_kernel(k, extra is not None),
+        _make_kernel(k, len(extras)),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=(

@@ -157,3 +157,48 @@ def test_pallas_chain_layouts_agree():
             got, ref, atol=5e-3 * np.mean(np.abs(ref)),
             err_msg=f"chain_t={chain_t} chain_r2={chain_r2}",
         )
+
+
+def test_pallas_multi_extra_streams():
+    """``extra`` as a tuple of chained-absorber streams (multiplied in
+    VMEM, the level >= 3 evidence configuration) must equal the XLA
+    composition with the materialized product (ops/logmvn_pallas.py)."""
+    import jax.numpy as jnp
+
+    from gpy_dla_detection_tpu.ops.logmvn import batched_log_mvnpdf
+    from gpy_dla_detection_tpu.ops.logmvn_pallas import (
+        batched_log_mvnpdf_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    N, k, S = 512, 4, 48
+    M = (rng.normal(size=(N, k)) / np.sqrt(k) * 0.1).astype(np.float32)
+    y = (1 + 0.1 * rng.normal(size=N)).astype(np.float32)
+    mu = np.ones(N, np.float32)
+    omega2 = rng.uniform(0.01, 0.05, N).astype(np.float32)
+    v = rng.uniform(0.02, 0.1, N).astype(np.float32)
+    mask = rng.uniform(size=N) > 0.1
+    absorption = np.exp(-rng.random((S, N))).astype(np.float32)
+    e1, e2, e3 = (
+        np.exp(-rng.random((S, N))).astype(np.float32) for _ in range(3)
+    )
+
+    args = [jnp.asarray(x) for x in (y, mu, M, omega2, v, mask)]
+    A = jnp.asarray(absorption)
+    for extras in ((e1,), (e1, e2), (e1, e2, e3)):
+        prod = np.prod(np.stack(extras), axis=0)
+        ref = np.asarray(
+            batched_log_mvnpdf(
+                *args, A, use_pallas=False, extra=jnp.asarray(prod)
+            )
+        )
+        got = np.asarray(
+            batched_log_mvnpdf_pallas(
+                *args, A, pair_basis(args[2]), k, interpret=True,
+                extra=tuple(jnp.asarray(e) for e in extras),
+            )
+        )
+        np.testing.assert_allclose(
+            got, ref, atol=5e-3 * np.mean(np.abs(ref)),
+            err_msg=f"n_extra={len(extras)}",
+        )
