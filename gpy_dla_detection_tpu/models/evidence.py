@@ -55,6 +55,21 @@ PROFILES = {"dla": voigt_absorption, "lls": voigt_absorption_lls}
 # GPY_DLA_EXTRA_STREAMS=0 restores the materialized product.
 _EXTRA_STREAMS: bool = os.environ.get("GPY_DLA_EXTRA_STREAMS", "1") == "1"
 
+# importance resampler for the chained levels.  "multinomial" matches
+# the reference's np.random.choice draws (dla_gp.py:209-218);
+# "systematic" is the classic low-variance systematic resampler (one
+# uniform offset on a stratified comb): per-index counts are within 1
+# of S * p_i instead of Binomial(S, p_i), and the drawn indices are
+# SORTED by construction, so the chained (S, N) profile-row gathers
+# read HBM nearly sequentially (scripts/gather_bench.py measures the
+# gather-order effect on device).
+_RESAMPLER: str = os.environ.get("GPY_DLA_RESAMPLER", "multinomial")
+if _RESAMPLER not in ("multinomial", "systematic"):
+    raise ValueError(
+        f"GPY_DLA_RESAMPLER must be 'multinomial' or 'systematic', "
+        f"got {_RESAMPLER!r}"
+    )
+
 
 def null_log_evidence(model: SpectrumModel) -> jnp.ndarray:
     """log p(D | no absorber) (reference: null_gp.py:294-305)."""
@@ -161,7 +176,11 @@ def qmc_log_evidences(
                 # level.  The chunked count is ~1000x cheaper.)
                 probs = jnp.exp(logits - jnp.max(logits))
                 cdf = jnp.cumsum(probs)
-                u = jax.random.uniform(keys[k0 - 1], (S,), dtype) * cdf[-1]
+                if _RESAMPLER == "systematic":
+                    u0 = jax.random.uniform(keys[k0 - 1], (), dtype)
+                    u = (jnp.arange(S, dtype=dtype) + u0) * (cdf[-1] / S)
+                else:
+                    u = jax.random.uniform(keys[k0 - 1], (S,), dtype) * cdf[-1]
                 base = jnp.minimum(chunked_searchsorted(cdf, u), S - 1)
             base_inds_rows.append(base)
             # chain the resampled absorber by gathering its precomputed
