@@ -16,7 +16,15 @@ import os as _os
 # through untouched.  This runs at package import, which every entry
 # point does before its first backend use (backend init is lazy).
 if "axon" in _os.environ.get("JAX_PLATFORMS", "").split(","):
-    _os.environ["JAX_PLATFORMS"] = ""
+    # keep any other explicitly requested platforms (e.g. "axon,cpu"
+    # falls back to cpu, not to auto-choice)
+    _kept = ",".join(
+        p for p in _os.environ["JAX_PLATFORMS"].split(",") if p and p != "axon"
+    )
+    if _kept:
+        _os.environ["JAX_PLATFORMS"] = _kept
+    else:
+        del _os.environ["JAX_PLATFORMS"]
     # jax latches the env var into its config at import time — if it
     # was imported before this package, clear the latched value too
     # (backend init itself is still lazy, so this is race-free as long
@@ -24,7 +32,7 @@ if "axon" in _os.environ.get("JAX_PLATFORMS", "").split(","):
     import sys as _sys
 
     if "jax" in _sys.modules:
-        _sys.modules["jax"].config.update("jax_platforms", None)
+        _sys.modules["jax"].config.update("jax_platforms", _kept or None)
 
 from .params import CIVParameters, Parameters, ZParameters
 

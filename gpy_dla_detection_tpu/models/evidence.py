@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.interp import chunked_searchsorted
+from ..ops.kernel_config import resolve_use_pallas
 from ..ops.logmvn import batched_log_mvnpdf, log_mvnpdf_low_rank, pair_basis
 from ..ops.voigt import (
     absorption_from_unit_tau,
@@ -58,17 +59,49 @@ _EXTRA_STREAMS: bool = os.environ.get("GPY_DLA_EXTRA_STREAMS", "1") == "1"
 # importance resampler for the chained levels.  "multinomial" matches
 # the reference's np.random.choice draws (dla_gp.py:209-218);
 # "systematic" is the classic low-variance systematic resampler (one
-# uniform offset on a stratified comb): per-index counts are within 1
-# of S * p_i instead of Binomial(S, p_i), and the drawn indices are
-# SORTED by construction, so the chained (S, N) profile-row gathers
-# read HBM nearly sequentially (scripts/gather_bench.py measures the
-# gather-order effect on device).
+# uniform offset on a stratified comb, then one random rotation):
+# per-index counts are within 1 of S * p_i instead of Binomial(S, p_i),
+# and the drawn indices are one rotation of a sorted sequence, so the
+# chained (S, N) profile-row gathers read HBM nearly sequentially
+# (scripts/gather_bench.py measures the gather-order effect on device).
 _RESAMPLER: str = os.environ.get("GPY_DLA_RESAMPLER", "multinomial")
 if _RESAMPLER not in ("multinomial", "systematic"):
     raise ValueError(
         f"GPY_DLA_RESAMPLER must be 'multinomial' or 'systematic', "
         f"got {_RESAMPLER!r}"
     )
+
+
+def _draw_base_indices(key, probs, resampler: str) -> jnp.ndarray:
+    """S chained-parent indices ~ Categorical(probs / sum(probs)).
+
+    Both resamplers draw through the same chunked inverse-CDF count
+    (``jax.random.categorical`` lowers to an S x S gumbel argmax —
+    38 ms/level at S=10k; ``jnp.searchsorted`` to a serialized
+    binary-search gather chain — 43 ms/level; the chunked count is
+    ~1000x cheaper).
+
+    The systematic comb is ROTATED by a random shift: slot i of the
+    chained level pairs parent ``base[i]`` with the FIXED new sample i,
+    so the raw comb's deterministic slot->i-th-quantile coupling is a
+    defect here — with near-flat weights ``base[i] == i``, every slot
+    chains with itself, the 3000 km/s pair-separation cut invalidates
+    all S samples and the level NaNs.  Rolling by a uniform shift keeps
+    the marginals exact (each slot's comb position is uniform) and the
+    within-1 counts and gather locality intact (one rotation of an
+    ascending sequence = two ascending runs).
+    """
+    S = probs.shape[0]
+    dtype = probs.dtype
+    cdf = jnp.cumsum(probs)
+    if resampler == "systematic":
+        k_u, k_r = jax.random.split(key)
+        u0 = jax.random.uniform(k_u, (), dtype)
+        u = (jnp.arange(S, dtype=dtype) + u0) * (cdf[-1] / S)
+        base = jnp.minimum(chunked_searchsorted(cdf, u), S - 1)
+        return jnp.roll(base, jax.random.randint(k_r, (), 0, S))
+    u = jax.random.uniform(key, (S,), dtype) * cdf[-1]
+    return jnp.minimum(chunked_searchsorted(cdf, u), S - 1)
 
 
 def null_log_evidence(model: SpectrumModel) -> jnp.ndarray:
@@ -143,6 +176,13 @@ def qmc_log_evidences(
 
     M_pair = pair_basis(model.M)
 
+    # separate extra streams only pay inside the Pallas kernel (the
+    # gathered rows multiply in VMEM); the XLA composition would
+    # re-multiply every previous level's rows each level — O(max_k^2)
+    # (S, N) passes vs O(max_k) with the running product — so it keeps
+    # the old materialized product.
+    streams = _EXTRA_STREAMS and resolve_use_pallas(use_pallas, model.y)
+
     # state threaded through the static level loop
     extra_factors = []  # chained absorber profile rows, one per level
     z_rows = [z_samples]  # level-k absorber redshifts, one row per chain slot
@@ -169,19 +209,8 @@ def qmc_log_evidences(
                 # if the previous level underflowed entirely, keep indices
                 # in-range with uniform logits (results are NaN-masked)
                 logits = jnp.where(alive, logits, jnp.zeros_like(logits))
-                # inverse-CDF categorical draw: S draws from S categories.
-                # (jax.random.categorical lowers to an S x S gumbel
-                # argmax — 38 ms/level at S=10k; jnp.searchsorted lowers
-                # to a serialized binary-search gather chain — 43 ms/
-                # level.  The chunked count is ~1000x cheaper.)
                 probs = jnp.exp(logits - jnp.max(logits))
-                cdf = jnp.cumsum(probs)
-                if _RESAMPLER == "systematic":
-                    u0 = jax.random.uniform(keys[k0 - 1], (), dtype)
-                    u = (jnp.arange(S, dtype=dtype) + u0) * (cdf[-1] / S)
-                else:
-                    u = jax.random.uniform(keys[k0 - 1], (S,), dtype) * cdf[-1]
-                base = jnp.minimum(chunked_searchsorted(cdf, u), S - 1)
+                base = _draw_base_indices(keys[k0 - 1], probs, _RESAMPLER)
             base_inds_rows.append(base)
             # chain the resampled absorber by gathering its precomputed
             # profile row: the (S, N) gather measures ~8 ms vs ~35 ms
@@ -192,7 +221,7 @@ def qmc_log_evidences(
             # running product would cost a full (S, N) read-modify-write
             # HBM pass per level >= 3.
             gathered = jnp.take(A, base, axis=0)
-            if _EXTRA_STREAMS or not extra_factors:
+            if streams or not extra_factors:
                 extra_factors.append(gathered)
             else:
                 extra_factors[-1] = extra_factors[-1] * gathered

@@ -48,11 +48,18 @@ def main():
     raw = [rng.integers(0, S, S).astype(np.int32) for _ in range(reps)]
     unsorted_idx = [jax.device_put(r) for r in raw]
     sorted_idx = [jax.device_put(np.sort(r)) for r in raw]
+    # what GPY_DLA_RESAMPLER=systematic actually produces: a sorted comb
+    # rotated by a random shift (two ascending runs)
+    rolled_idx = [
+        jax.device_put(np.roll(np.sort(r), int(rng.integers(0, S))))
+        for r in raw
+    ]
     seq_idx = [jax.device_put(np.arange(S, dtype=np.int32)) for _ in range(reps)]
 
     for name, fn, args_list in [
         ("gather unsorted", gather_sum, [(t, i) for t, i in zip(tables, unsorted_idx)]),
         ("gather sorted", gather_sum, [(t, i) for t, i in zip(tables, sorted_idx)]),
+        ("gather rolled-sorted", gather_sum, [(t, i) for t, i in zip(tables, rolled_idx)]),
         ("gather sequential", gather_sum, [(t, i) for t, i in zip(tables, seq_idx)]),
         (
             "gather+mul unsorted",

@@ -459,39 +459,14 @@ def build_chain_only(bs2: int, variant: str):
         _make_chain_kernel_t2(k)(B_ref, u_ref, misc_ref, ll_ref)
 
     def kb_xt(B_ref, u_ref, misc_ref, ll_ref):
-        # row-layout blocks, transposed in VMEM once per block
-        T = B_ref[:].T + (
-            jax.lax.broadcasted_iota(jnp.int32, (k * k, 1), 0) // k
-            == jax.lax.broadcasted_iota(jnp.int32, (k * k, 1), 0) % k
-        ).astype(jnp.float32)  # (k*k, bs)
-        u = u_ref[:].T  # (k, bs)
-        misc = misc_ref[:].T  # (2, bs)
-        quad0 = misc[0:1, :]
-        logdet0 = misc[1:2, :]
-        sub = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-        quad = jnp.zeros_like(quad0)
-        logdet = jnp.zeros_like(logdet0)
-        for j in range(k):
-            dj = T[j : j + 1, :]
-            logdet = logdet + jnp.log(dj)
-            inv_sqrt = jax.lax.rsqrt(dj)
-            lower = (sub >= j).astype(jnp.float32)
-            col = T[:k, :] * inv_sqrt * lower
-            tj = u[j : j + 1, :] * inv_sqrt
-            quad = quad + tj * tj
-            u = u - tj * col
-            rem = k - j - 1
-            if rem:
-                i_idx = jax.lax.broadcasted_iota(jnp.int32, (rem * k, k), 0)
-                p_idx = jax.lax.broadcasted_iota(jnp.int32, (rem * k, k), 1)
-                Rj = (i_idx // k + j + 1 == p_idx).astype(jnp.float32)
-                rep = jnp.dot(Rj, col,
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-                tile = pltpu.repeat(col, rem, axis=0)
-                T = T[k:, :] - rep * tile
-        ll = -0.5 * (quad0 - quad + logdet0 + logdet)  # (1, bs)
-        ll_ref[:] = ll.T  # (bs, 1)
+        # row-layout blocks, transposed in VMEM once per block — the
+        # PRODUCTION stage-B kernel, delegated so the ablation cannot
+        # drift from what ships
+        from gpy_dla_detection_tpu.ops.logmvn_pallas import (
+            _make_chain_kernel_t,
+        )
+
+        _make_chain_kernel_t(k)(B_ref, u_ref, misc_ref, ll_ref)
 
     # the lane (sample) dimension of a transposed block must be a
     # multiple of 128 (Mosaic); S=10000 has no such tiling, so the
@@ -660,7 +635,10 @@ def main():
 
     stages = sys.argv[1:] or ["full", "decoupled_1000", "decoupled_2000",
                               "decoupled_2500", "decoupled_tri_2000"]
+    row0 = None  # seed-0 row-layout oracle, compiled once across stages
     for stage in stages:
+        if stage == "accuracy":
+            continue  # handled by accuracy() below, not a timing stage
         if stage.startswith("chain_"):
             variant, bs2 = stage[len("chain_"):].rsplit("_", 1)
             f = build_chain_only(int(bs2), variant)
@@ -671,8 +649,9 @@ def main():
             out0 = np.asarray(f(*ins[0]))  # compile
             # cross-variant correctness: all variants factor the same
             # seed-0 SPD systems, so ll must agree with the row layout
-            f_row = build_chain_only(2000, "row")
-            row0 = np.asarray(f_row(*chain_inputs(False, 0)))
+            if row0 is None:
+                f_row = build_chain_only(2000, "row")
+                row0 = np.asarray(f_row(*chain_inputs(False, 0)))
             err = np.abs(out0.reshape(-1)[:S] - row0.reshape(-1)).max()
             assert err < 1e-3, f"{stage} mismatch vs row: {err}"
             tdir = f"/tmp/ablate_{stage}"
