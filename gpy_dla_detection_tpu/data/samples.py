@@ -81,6 +81,11 @@ def fit_log_nhi_prior(
     std = np.std(log_nhis, ddof=1)
     iqr = float(np.subtract(*np.percentile(log_nhis, [75.0, 25.0])))
     sigma = min(std, iqr / 1.349) or std
+    if sigma <= 0:
+        raise ValueError(
+            "logNHI values are all (nearly) identical — the KDE "
+            "bandwidth degenerates; a catalog-driven prior needs spread"
+        )
     bw = sigma * (4.0 / (3.0 * n)) ** 0.2
     # chunk over evaluation points: (num_points, n) can be ~1000 x 100k
     kde = np.empty_like(x)

@@ -118,9 +118,9 @@ def civ_model_posterior(
     return post[1]
 
 
-@partial(jax.jit, static_argnames=("params",))
-def _civ_step(learned, spec, samples: CIVSamples, params: CIVParameters):
-    """One spectrum's null + CIV evidences as a single compiled step."""
+def _civ_step_body(learned, spec, samples, params):
+    """One spectrum's null + CIV evidences (shared by the single and
+    batched compiled steps)."""
     from .learned import build_spectrum_model
 
     model = build_spectrum_model(learned, spec, params)
@@ -130,6 +130,12 @@ def _civ_step(learned, spec, samples: CIVSamples, params: CIVParameters):
     null_ev = civ_null_log_evidence(model)
     civ_ev, _ = civ_qmc_log_evidence(model, samples, params)
     return null_ev, civ_ev
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _civ_step(learned, spec, samples: CIVSamples, params: CIVParameters):
+    """One spectrum's null + CIV evidences as a single compiled step."""
+    return _civ_step_body(learned, spec, samples, params)
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -143,16 +149,6 @@ def _civ_step_batch(learned, specs, samples: CIVSamples, params):
         return _civ_step_body(learned, spec, samples, params)
 
     return jax.vmap(one)(specs)
-
-
-def _civ_step_body(learned, spec, samples, params):
-    from .learned import build_spectrum_model
-
-    model = build_spectrum_model(learned, spec, params)
-    model = model._replace(omega2=jnp.zeros_like(model.v))
-    null_ev = civ_null_log_evidence(model)
-    civ_ev, _ = civ_qmc_log_evidence(model, samples, params)
-    return null_ev, civ_ev
 
 
 def civ_inference_many(
@@ -176,9 +172,8 @@ def civ_inference_many(
 
     :return: list of (p_civ, log_evidence_null, log_evidence_civ).
     """
-    import collections
-
     from ..data.spectrum import stack
+    from ..utils.pipeline import pipelined_batches
 
     learned = jax.tree.map(
         lambda x: jax.device_put(jnp.asarray(np.asarray(x))), learned
@@ -186,38 +181,16 @@ def civ_inference_many(
     samples = CIVSamples(
         *[jax.device_put(jnp.asarray(np.asarray(v))) for v in samples]
     )
-    in_flight: collections.deque = collections.deque()
-    results = []
 
-    def drain_one():
-        n_real, ne, ce = in_flight.popleft()
-        ne_np, ce_np = np.asarray(ne), np.asarray(ce)
+    def dispatch_fn(chunk, _aux):
+        return _civ_step_batch(learned, stack(chunk), samples, params)
+
+    def finalize_fn(n_real, out):
+        ne_np, ce_np = np.asarray(out[0]), np.asarray(out[1])
         for i in range(n_real):
             n, c = float(ne_np[i]), float(ce_np[i])
-            results.append((civ_model_posterior(n, c, p_civ_prior), n, c))
+            yield (civ_model_posterior(n, c, p_civ_prior), n, c)
 
-    def dispatch(chunk):
-        n_real = len(chunk)
-        while len(chunk) < batch_size:
-            chunk.append(chunk[-1])
-        ne, ce = _civ_step_batch(learned, stack(chunk), samples, params)
-        for a in (ne, ce):
-            try:
-                a.copy_to_host_async()
-            except AttributeError:
-                pass
-        in_flight.append((n_real, ne, ce))
-        if len(in_flight) > max_in_flight:
-            drain_one()
-
-    chunk = []
-    for spec in specs:
-        chunk.append(spec)
-        if len(chunk) == batch_size:
-            dispatch(chunk)
-            chunk = []
-    if chunk:
-        dispatch(chunk)
-    while in_flight:
-        drain_one()
-    return results
+    return pipelined_batches(
+        specs, batch_size, max_in_flight, dispatch_fn, finalize_fn
+    )

@@ -302,11 +302,10 @@ def lls_inference_many(
     :return: list of (null_ev: float, result arrays as numpy) tuples.
     """
 
-    import collections
-
     import jax.numpy as jnp
 
     from ..data.spectrum import stack
+    from ..utils.pipeline import pipelined_batches
 
     learned = jax.tree.map(
         lambda x: jax.device_put(jnp.asarray(np.asarray(x))), learned
@@ -315,24 +314,16 @@ def lls_inference_many(
     log_nhi = jax.device_put(jnp.asarray(samples.log_nhi_samples))
     nhi = jax.device_put(jnp.asarray(samples.nhi_samples))
 
-    in_flight: collections.deque = collections.deque()
-    out = []
+    def keygen():
+        # one split per incoming spectrum, in stream order — identical
+        # to the single-spectrum path's key chain (bit-for-bit parity)
+        nonlocal key
+        while True:
+            key, sub = jax.random.split(key)
+            yield sub
 
-    def drain_one():
-        n_real, null_ev, result = in_flight.popleft()
-        null_np = np.asarray(null_ev)
-        res_np = jax.tree.map(np.asarray, result)
-        for i in range(n_real):
-            out.append(
-                (float(null_np[i]), jax.tree.map(lambda x: x[i], res_np))
-            )
-
-    def dispatch(chunk, chunk_keys):
-        n_real = len(chunk)
-        while len(chunk) < batch_size:  # pad: one compiled shape
-            chunk.append(chunk[-1])
-            chunk_keys.append(chunk_keys[-1])
-        null_ev, result = _lls_step_batch(
+    def dispatch_fn(chunk, chunk_keys):
+        return _lls_step_batch(
             learned,
             stack(chunk),
             offsets,
@@ -342,25 +333,15 @@ def lls_inference_many(
             max_lya,
             params,
         )
-        for leaf in jax.tree.leaves((null_ev, result)):
-            try:
-                leaf.copy_to_host_async()
-            except AttributeError:
-                pass
-        in_flight.append((n_real, null_ev, result))
-        if len(in_flight) > max_in_flight:
-            drain_one()
 
-    chunk, chunk_keys = [], []
-    for spec in specs:
-        key, sub = jax.random.split(key)
-        chunk.append(spec)
-        chunk_keys.append(sub)
-        if len(chunk) == batch_size:
-            dispatch(chunk, chunk_keys)
-            chunk, chunk_keys = [], []
-    if chunk:
-        dispatch(chunk, chunk_keys)
-    while in_flight:
-        drain_one()
-    return out
+    def finalize_fn(n_real, out):
+        null_ev, result = out
+        null_np = np.asarray(null_ev)
+        res_np = jax.tree.map(np.asarray, result)
+        for i in range(n_real):
+            yield (float(null_np[i]), jax.tree.map(lambda x: x[i], res_np))
+
+    return pipelined_batches(
+        specs, batch_size, max_in_flight, dispatch_fn, finalize_fn,
+        aux=keygen(),
+    )

@@ -21,6 +21,7 @@ import numpy as np
 from ..ops.interp import interp_uniform
 from ..ops.logmvn import LOG_2PI, log_mvnpdf_low_rank
 from ..params import ZParameters
+from ..utils.memo import memo_by_identity
 
 
 class ZLearnedModel(NamedTuple):
@@ -430,16 +431,14 @@ _SCAN_TABLE_CACHE: dict = {}
 
 def _scan_table_for(learned, pixel_dlog, num_pixels, z_qso_min, z_qso_max):
     key = (id(learned), pixel_dlog, num_pixels, z_qso_min, z_qso_max)
-    hit = _SCAN_TABLE_CACHE.get(key)
-    if hit is not None and hit[0] is learned:
-        return hit[1]
-    entry = build_scan_table(
-        learned, pixel_dlog, num_pixels, z_min=z_qso_min, z_max=z_qso_max
+    return memo_by_identity(
+        _SCAN_TABLE_CACHE,
+        key,
+        learned,
+        lambda: build_scan_table(
+            learned, pixel_dlog, num_pixels, z_min=z_qso_min, z_max=z_qso_max
+        ),
     )
-    _SCAN_TABLE_CACHE[key] = (learned, entry)
-    if len(_SCAN_TABLE_CACHE) > 8:
-        _SCAN_TABLE_CACHE.pop(next(iter(_SCAN_TABLE_CACHE)))
-    return entry
 
 
 def _dispatch_scan(

@@ -55,6 +55,7 @@ import numpy as np
 
 from ..ops.logmvn import LOG_2PI, batched_quad_logdet
 from ..params import ZParameters
+from ..utils.memo import memo_by_identity
 from .zqso import (
     SCAN_OVERSAMPLE,
     SCAN_WL_BOUNDS,
@@ -214,9 +215,7 @@ def z_log_evidences_corr(
 ):
     """log p(D | z) over the grid via the correlation scan."""
     O = oversample
-    F = nfft // 2 + 1
     wl = spec.wavelengths
-    P = wl.shape[0]
     f32 = jnp.float32
 
     # --- spectrum-side weights (z-independent) ---------------------
@@ -397,17 +396,15 @@ def corr_table_for(
     key = (
         id(learned), pixel_dlog, num_pixels, params, z_qso_min, z_qso_max,
     )
-    hit = _CORR_TABLE_CACHE.get(key)
-    if hit is not None and hit[0] is learned:
-        return hit[1]
-    entry = build_corr_table(
-        learned, pixel_dlog, num_pixels, params,
-        z_min=z_qso_min, z_max=z_qso_max,
+    return memo_by_identity(
+        _CORR_TABLE_CACHE,
+        key,
+        learned,
+        lambda: build_corr_table(
+            learned, pixel_dlog, num_pixels, params,
+            z_min=z_qso_min, z_max=z_qso_max,
+        ),
     )
-    _CORR_TABLE_CACHE[key] = (learned, entry)
-    if len(_CORR_TABLE_CACHE) > 8:
-        _CORR_TABLE_CACHE.pop(next(iter(_CORR_TABLE_CACHE)))
-    return entry
 
 
 def z_scan_corr(

@@ -63,7 +63,7 @@ _CHAIN_R2: bool = os.environ.get("GPY_DLA_CHAIN_R2", "0") == "1"
 # the (N, k^2) pair basis) comfortably under the ~16 MB VMEM budget —
 # oversized blocks send the Mosaic allocator into pathological search.
 BLOCK_S = 200
-# pixel count the BLOCK_S=256 budget was sized for; wider windows scale
+# pixel count the BLOCK_S budget was sized for; wider windows scale
 # the block down so BS * N stays within the same VMEM envelope
 _BLOCK_BUDGET_N = 1280
 
@@ -109,50 +109,85 @@ def _chain_block_s(s_pad: int) -> int:
     return s_pad
 
 
-def _make_cap_kernel(k: int, n_extra: int):
-    """Stage-A kernel: noise assembly + MXU dots per (BS, N) block;
-    writes the flat capacitance B, projection u, and the data-space
-    quad/logdet scalars (with n log 2pi folded in) for stage B.
+def _assemble(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, extra_refs):
+    """Shared first half of the fused kernel and the split stage-A
+    kernel: noise assembly + the MXU capacitance/projection dots on one
+    (BS, N) absorption block.  Returns (B, u, quad0, logdet0, n) —
+    the flat capacitance (BS, k*k) WITHOUT the +I, the projection
+    (BS, k), the data-space quadratic form and log determinant, and the
+    valid-pixel count.
 
-    ``n_extra`` chained-absorber streams are multiplied into the
-    absorption block in VMEM — the evidence loop passes the gathered
-    per-level profile rows separately instead of materializing their
-    running product in HBM (one full (S, N) read-modify-write pass per
-    level >= 3 saved; see models/evidence.py)."""
+    The five spectrum-level rows ride in ONE (8, N) block: five
+    separate (1, N) inputs each pad to 8 sublanes in VMEM (40 KB apiece
+    at N=1280).  ``extra_refs`` are chained-absorber streams multiplied
+    into the absorption block in VMEM — the evidence loop passes the
+    gathered per-level profile rows separately instead of materializing
+    their running product in HBM (one full (S, N) read-modify-write
+    pass per level >= 3 saved; see models/evidence.py, measured ~19 ms
+    per level at S=10k, B=16).  The elementwise live set is kept
+    minimal — Mosaic's stack accounting charges every named (BS, N)
+    temporary against the scoped-VMEM limit.
+    """
+    rows = rows_ref[:]
+    y = rows[0:1, :]
+    mu = rows[1:2, :]
+    omega2 = rows[2:3, :]
+    v = rows[3:4, :]
+    mask = rows[4:5, :]  # f32 0/1
+    a_raw = a_ref[:]  # (BS, N)
+    for extra_ref in extra_refs:
+        a_raw = a_raw * extra_ref[:]
+    a = jnp.where(mask > 0, a_raw, 1.0)
+    d_inv = mask / (omega2 * a * a + v)  # masked pixels -> 0
+    delta = jnp.where(mask > 0, y - mu * a, 0.0)
+
+    w = a * a * d_inv  # (BS, N)
+    r = a * delta * d_inv
+
+    # B = w @ M_pair as a manual 3-pass bf16 split at DEFAULT
+    # precision: w = w_hi + w_lo (each bf16), M_pair pre-split by the
+    # wrapper.  Dropping only the w_lo*Mp_lo term (~2^-16 relative),
+    # this matches Precision.HIGHEST to the digit on the f64-reference
+    # check (median |Δll| 3.6e-4 both ways — the error lives elsewhere)
+    # while replacing the 6-pass HIGHEST lowering with 3 native bf16
+    # passes: 0.54 -> 0.36 ms/call (scripts/kernel_ablate.py).
+    w_hi = w.astype(jnp.bfloat16)
+    w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    B = (
+        jnp.dot(w_hi, Mp_hi_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(w_hi, Mp_lo_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(w_lo, Mp_hi_ref[:], preferred_element_type=jnp.float32)
+    )  # (BS, k*k)
+    u = jnp.dot(
+        r,
+        M_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (BS, k)
+
+    quad0 = jnp.sum(delta * delta * d_inv, axis=1, keepdims=True)  # (BS, 1)
+    # log d = -log d_inv on valid pixels; masked entries contribute
+    # log(0 + 1) = 0 (the +(mask <= 0) keeps the log's argument
+    # positive so the inactive branch cannot produce NaN)
+    logdet0 = -jnp.sum(jnp.log(d_inv + (mask <= 0)), axis=1, keepdims=True)
+    n = jnp.sum(mask)
+    return B, u, quad0, logdet0, n
+
+
+def _make_cap_kernel(k: int, n_extra: int):
+    """Stage-A kernel: noise assembly + MXU dots per (BS, N) block
+    (:func:`_assemble`); writes the flat capacitance B, projection u,
+    and the data-space quad/logdet scalars (with n log 2pi folded in)
+    for stage B."""
 
     def _kernel(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, *rest):
         extra_refs = rest[:n_extra]
         B_ref, u_ref, misc_ref = rest[n_extra:]
-        rows = rows_ref[:]
-        y = rows[0:1, :]
-        mu = rows[1:2, :]
-        omega2 = rows[2:3, :]
-        v = rows[3:4, :]
-        mask = rows[4:5, :]
-        a_raw = a_ref[:]
-        for extra_ref in extra_refs:
-            a_raw = a_raw * extra_ref[:]
-        a = jnp.where(mask > 0, a_raw, 1.0)
-        d_inv = mask / (omega2 * a * a + v)
-        delta = jnp.where(mask > 0, y - mu * a, 0.0)
-        w = a * a * d_inv
-        r = a * delta * d_inv
-        quad0 = jnp.sum(delta * delta * d_inv, axis=1, keepdims=True)
-        logdet0 = -jnp.sum(jnp.log(d_inv + (mask <= 0)), axis=1, keepdims=True)
-        n = jnp.sum(mask)
-        w_hi = w.astype(jnp.bfloat16)
-        w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        B_ref[:] = (
-            jnp.dot(w_hi, Mp_hi_ref[:], preferred_element_type=jnp.float32)
-            + jnp.dot(w_hi, Mp_lo_ref[:], preferred_element_type=jnp.float32)
-            + jnp.dot(w_lo, Mp_hi_ref[:], preferred_element_type=jnp.float32)
+        B, u, quad0, logdet0, n = _assemble(
+            rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, extra_refs
         )
-        u_ref[:] = jnp.dot(
-            r,
-            M_ref[:],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        B_ref[:] = B
+        u_ref[:] = u
         misc_ref[:] = jnp.concatenate([quad0, logdet0 + n * LOG_2PI], axis=1)
 
     return _kernel
@@ -334,64 +369,15 @@ def _make_chain_kernel_t2(k: int):
 
 
 def _make_kernel(k: int, n_extra: int):
+    """The single fused kernel (GPY_DLA_SPLIT_CHAIN=0 rollback path):
+    :func:`_assemble` followed by the row-layout factorization chain in
+    the same grid step."""
+
     def _kernel(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, *rest):
         extra_refs = rest[:n_extra]
         (ll_ref,) = rest[n_extra:]
-        # the five spectrum-level rows ride in ONE (8, N) block: five
-        # separate (1, N) inputs each pad to 8 sublanes in VMEM (40 KB
-        # apiece at N=1280) and the kernel sits 4 KB from the 16 MB
-        # scoped-VMEM limit at BLOCK_S=256
-        rows = rows_ref[:]
-        y = rows[0:1, :]
-        mu = rows[1:2, :]
-        omega2 = rows[2:3, :]
-        v = rows[3:4, :]
-        mask = rows[4:5, :]  # f32 0/1
-        a_raw = a_ref[:]  # (BS, N)
-        # chained-absorber factors multiplied in VMEM — saves
-        # materializing their product with A in HBM per level
-        # (measured ~19 ms per level at S=10k, B=16)
-        for extra_ref in extra_refs:
-            a_raw = a_raw * extra_ref[:]
-
-        # keep the elementwise live set minimal — the Mosaic stack
-        # accounting charges every named (BS, N) temporary against the
-        # 16 MB scoped-VMEM limit
-        a = jnp.where(mask > 0, a_raw, 1.0)
-        d_inv = mask / (omega2 * a * a + v)  # masked pixels -> 0
-        delta = jnp.where(mask > 0, y - mu * a, 0.0)
-
-        w = a * a * d_inv  # (BS, N)
-        r = a * delta * d_inv
-
-        # B = w @ M_pair as a manual 3-pass bf16 split at DEFAULT
-        # precision: w = w_hi + w_lo (each bf16), M_pair pre-split by
-        # the wrapper.  Dropping only the w_lo*Mp_lo term (~2^-16
-        # relative), this matches Precision.HIGHEST to the digit on the
-        # f64-reference check (median |Δll| 3.6e-4 both ways — the
-        # error lives elsewhere) while replacing the 6-pass HIGHEST
-        # lowering with 3 native bf16 passes: 0.54 -> 0.36 ms/call
-        # measured (scripts/kernel_ablate.py).
-        w_hi = w.astype(jnp.bfloat16)
-        w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        B = (
-            jnp.dot(w_hi, Mp_hi_ref[:], preferred_element_type=jnp.float32)
-            + jnp.dot(w_hi, Mp_lo_ref[:], preferred_element_type=jnp.float32)
-            + jnp.dot(w_lo, Mp_hi_ref[:], preferred_element_type=jnp.float32)
-        )  # (BS, k*k)
-        u = jnp.dot(
-            r,
-            M_ref[:],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (BS, k)
-
-        quad0 = jnp.sum(delta * delta * d_inv, axis=1, keepdims=True)  # (BS, 1)
-        # log d = -log d_inv on valid pixels; masked entries contribute
-        # log(0 + 1) = 0 (the +(mask <= 0) keeps the log's argument
-        # positive so the inactive branch cannot produce NaN)
-        logdet0 = -jnp.sum(
-            jnp.log(d_inv + (mask <= 0)), axis=1, keepdims=True
+        B, u, quad0, logdet0, n = _assemble(
+            rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, extra_refs
         )
 
         # Capacitance A = I + M^T D^-1 M kept FLAT as (BS, k*k) — Mosaic
@@ -442,7 +428,6 @@ def _make_kernel(k: int, n_extra: int):
                 tile = pltpu.repeat(col, k, axis=1)
                 A = A - rep * tile
 
-        n = jnp.sum(mask)
         ll_ref[:] = -0.5 * (quad0 - quad + logdet0 + logdet + n * LOG_2PI)
 
     return _kernel

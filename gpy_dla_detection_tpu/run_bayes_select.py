@@ -131,6 +131,13 @@ def main(argv=None):
     if args.fit_nhi_prior:
         if not args.dla_catalog:
             parser.error("--fit-nhi-prior requires --dla-catalog")
+        if args.dla_samples_file or args.subdla_samples_file:
+            # the fitted prior only shapes samples we generate ourselves
+            parser.error(
+                "--fit-nhi-prior conflicts with --dla-samples-file/"
+                "--subdla-samples-file: samples loaded from a file keep "
+                "the prior they were drawn from"
+            )
         from .data.samples import fit_log_nhi_prior
 
         nhi_fit = fit_log_nhi_prior(np.loadtxt(args.dla_catalog)[:, 2], params)

@@ -65,6 +65,9 @@ def steady_rate(metrics_path, skip_batches=2):
             if ev.get("event") == "batch_done":
                 events.append(ev)
     events.sort(key=lambda e: e["batch_index"])
+    # the steady span needs a preceding event as its time origin, so at
+    # least skip_batches+1 (>= 2) batches must exist
+    skip_batches = max(skip_batches, 1)
     if len(events) <= skip_batches:
         raise SystemExit(f"only {len(events)} batches; need > {skip_batches}")
     tail = events[skip_batches:]

@@ -158,3 +158,7 @@ def test_fit_log_nhi_prior_validation():
     params = Parameters()
     with pytest.raises(ValueError, match="at least 2"):
         fit_log_nhi_prior(np.array([20.5]), params)
+    # identical values degenerate the KDE bandwidth: a clear error, not
+    # an opaque polyfit LinAlgError on NaNs
+    with pytest.raises(ValueError, match="bandwidth"):
+        fit_log_nhi_prior(np.array([20.5, 20.5, 20.5]), params)
