@@ -223,9 +223,19 @@ def write_mat73(filename: str, variables: dict) -> None:
             elif arr.dtype.kind in "fiu":
                 data = arr.T
                 mcls = _MATLAB_CLASS.get(arr.dtype.str[1:], b"double")
-            else:  # strings and everything else go as double-encoded bytes
-                data = np.char.encode(arr.astype(str)).view(np.uint8).T
-                mcls = b"uint8"
+            else:  # strings -> a MATLAB char matrix (space-padded rows):
+                # v7.3 chars are uint16 code units with
+                # MATLAB_class='char' + MATLAB_int_decode=2; a uint8
+                # export would load as an unusable numeric matrix
+                s = np.atleast_1d(arr.astype(str))
+                flat = s.reshape(-1)
+                width = max((len(x) for x in flat), default=1) or 1
+                codes = np.full((flat.size, width), ord(" "), np.uint16)
+                for i, x in enumerate(flat):
+                    u = np.frombuffer(x.encode("utf-16-le"), np.uint16)
+                    codes[i, : u.size] = u
+                data = codes.reshape(s.shape + (width,)).T
+                mcls = b"char"
             # MATLAB represents scalars as 1x1 matrices
             if data.ndim == 0:
                 data = data.reshape(1, 1)
@@ -235,6 +245,8 @@ def write_mat73(filename: str, variables: dict) -> None:
             ds.attrs["MATLAB_class"] = np.bytes_(mcls)
             if mcls == b"logical":
                 ds.attrs["MATLAB_int_decode"] = np.int32(1)
+            elif mcls == b"char":
+                ds.attrs["MATLAB_int_decode"] = np.int32(2)
 
     # the MATLAB 7.3 header lives in the HDF5 userblock:
     # 116 bytes of text + 8 reserved + version 0x0200 + endian "IM"
@@ -349,6 +361,13 @@ def roc_curve(p_dlas, truth):
     t_sorted = t[order]
     tp = np.cumsum(t_sorted)
     fp = np.cumsum(~t_sorted)
+    # one ROC point per DISTINCT threshold: keeping a point per sample
+    # makes tied scores an order-dependent staircase (AUC 1.0 or 0.0
+    # depending on input order for p=[.5,.5], truth=[T,F]); collapsing
+    # a tie run to its last cumulative count draws the diagonal
+    # segment, giving ties the correct 0.5 credit
+    last = np.nonzero(np.append(np.diff(p_sorted) != 0, True))[0]
+    tp, fp, p_sorted = tp[last], fp[last], p_sorted[last]
     P = t.sum()
     N = (~t).sum()
     tpr = np.concatenate([[0.0], tp / max(P, 1)])

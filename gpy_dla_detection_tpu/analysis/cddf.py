@@ -110,11 +110,15 @@ def combine_with_poisson(pdf_pb, pmean):
     weak = poisson(pmean)
     plow, phigh = (int(v) for v in weak.interval(1 - 1e-4))
     dlow, dhigh = interval(np.cumsum(pdf_pb), 1 - 1e-4)
-    dhigh = min(dhigh + 1, np.size(pdf_pb))
+    # the clamp applies only to the inner sum's support; the outer
+    # range keeps the unclamped dhigh (reference: calc_cddf.py:1058 —
+    # clamping both dropped the last support point whenever dhigh hit
+    # the end of a short pdf)
+    dstop = min(dhigh + 1, np.size(pdf_pb))
     pdf_comb = np.array(
         [
-            math.fsum(weak.pmf(N - i) * pdf_pb[i] for i in range(dlow, dhigh))
-            for N in range(plow + dlow, phigh + dhigh)
+            math.fsum(weak.pmf(N - i) * pdf_pb[i] for i in range(dlow, dstop))
+            for N in range(plow + dlow, phigh + dhigh + 1)
         ]
     )
     return pdf_comb, plow + dlow
@@ -167,8 +171,10 @@ class ProcessedCatalog:
         self.sample_log_likelihoods = np.asarray(sample_log_likelihoods)
         self.log_likelihoods_dla = np.atleast_2d(np.asarray(log_likelihoods_dla))
         base = np.asarray(base_sample_inds)
-        if base.ndim == 3 and base.shape[1] != self.sample_log_likelihoods.shape[1]:
-            base = np.moveaxis(base, 0, -1)  # (Q, S, k-1)
+        Q = self.sample_log_likelihoods.shape[0]
+        if base.ndim == 3 and base.shape[0] != Q and base.shape[-1] == Q:
+            # the reference driver's MATLAB layout (max_dlas-1, S, Q)
+            base = np.transpose(base, (2, 1, 0))  # -> (Q, S, k-1)
         self.base_sample_inds = base
 
         self.z_offsets = np.asarray(offset_samples)
@@ -246,6 +252,17 @@ class ProcessedCatalog:
             if mp.shape[0] != Q:
                 mp = mp.T
             base = np.asarray(f["base_sample_inds"])
+            # this framework writes (Q, S, max_dlas-1) 0-BASED indices
+            # (catalog_io.py); the reference driver's files are MATLAB
+            # (max_dlas-1, S, Q) — or (S, Q) at max_dlas == 2 — and
+            # 1-BASED (the reference subtracts 1 on load,
+            # calc_cddf.py:392-404).  Detect by orientation.
+            if base.ndim == 3 and base.shape[0] != Q and base.shape[-1] == Q:
+                base = np.transpose(base, (2, 1, 0)) - 1
+            elif base.ndim == 2:
+                if base.shape[0] != Q and base.shape[-1] == Q:
+                    base = base.T - 1
+                base = base[:, :, None]
 
             if sample_file is not None:
                 with h5py.File(sample_file, "r") as sf:
@@ -340,11 +357,15 @@ class ProcessedCatalog:
             return (
                 np.exp(self.log_norm_like(spec, 0)[index]) * self.p_dla[orig]
             )
-        total = np.zeros(np.size(index))
-        for i in range(int(second) + 1):
-            p_k = self.model_posteriors[orig, i + 1 + self.sub_dla]
-            total += np.exp(self.log_norm_like(spec, second)[index]) * p_k
-        return total
+        # one exp of the (up to S-element) normalized likelihood slice,
+        # scaled by the summed posterior of models 1..second+1 — the
+        # loop body is identical per model (reference: calc_cddf.py:
+        # 922-943 re-evaluates it; this is the hottest analysis loop)
+        like = np.exp(self.log_norm_like(spec, second)[index])
+        p_k = self.model_posteriors[
+            orig, 1 + self.sub_dla : second + 2 + self.sub_dla
+        ].sum()
+        return like * p_k
 
     # ------------------------------------------------------------------
     def path_length(self, z_min, z_max):

@@ -180,7 +180,10 @@ def compare_catalogs(
     for i in range(len(ids)):
         if p_dlas[i] < p_thresh or not has_dla[i]:
             continue
-        k = int(pred_counts[i])
+        # the MAP arrays store max_k models; a predicted count beyond
+        # that (possible when model_posteriors has more absorber models
+        # than the stored MAP chains) clamps to the deepest stored one
+        k = min(int(pred_counts[i]), map_z_dlas.shape[1])
         if k < 1:
             continue
         for j in range(min(k, map_z_dlas.shape[2])):

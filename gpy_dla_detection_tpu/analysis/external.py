@@ -213,8 +213,14 @@ def noterdaeme_estimations(
     in_ours = np.isin(our_ids, np.asarray(los_ids))
     z_qsos_los = our_z_qsos[in_ours]
     all_snrs = our_snrs[in_ours]
-    min_z_dlas = (1 + z_qsos_los) * (LYB_A / LYA_A + _kms_to_z(3000.0)) - 1
-    max_z_dlas = (1 + z_qsos_los) * (1.0 - _kms_to_z(5000.0)) - 1
+    # reference: qso_loader.py:1526-1527 — NOTE the reference adds the
+    # km/s offsets to the WAVELENGTHS in Angstroms (kms_to_z(3000) =
+    # 0.01 A against 1025.7 A, a numeric no-op), so its effective
+    # window is [(1+z) lyb/lya - 1, z].  Reproduced exactly: applying
+    # the offsets as redshift factors instead shrinks dX ~17% and every
+    # Noterdaeme overlay point would sit off the reference's curves.
+    min_z_dlas = (1 + z_qsos_los) * (LYB_A + _kms_to_z(3000.0)) / LYA_A - 1
+    max_z_dlas = (1 + z_qsos_los) * (LYA_A - _kms_to_z(5000.0)) / LYA_A - 1
 
     dla_rows = np.atleast_2d(np.asarray(dla_rows, np.float64))
     thing_ids = dla_rows[:, 0].astype(np.int64)

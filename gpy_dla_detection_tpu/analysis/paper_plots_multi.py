@@ -91,10 +91,15 @@ def multi_roc(model_posteriors, truth_counts, sub_dla: int = 1, max_k: int = 4):
     scores = np.concatenate(scores)
     labels = np.concatenate(labels)
 
-    order = np.argsort(scores)[::-1]
+    order = np.argsort(-scores, kind="stable")
+    s_sorted = scores[order]
     labels = labels[order]
     tp = np.cumsum(labels)
     fp = np.cumsum(~labels)
+    # collapse tied scores to one ROC point (see catalog_tools.
+    # roc_curve) — posterior saturation makes exact ties common here
+    last = np.nonzero(np.append(np.diff(s_sorted) != 0, True))[0]
+    tp, fp = tp[last], fp[last]
     tpr = tp / max(tp[-1], 1)
     fpr = fp / max(fp[-1], 1)
     auc = float(_trapezoid(tpr, fpr))
@@ -185,50 +190,45 @@ def do_external_dNdX(
 
 
 def do_external_snr_check(
-    cat, est: ExternalEstimations, subdir: str, label: str = "parks",
+    est: ExternalEstimations, subdir: str, label: str = "parks",
     zmax: float = 5.0,
 ):
-    """External-catalog CDDF and dN/dX at several SNR cuts, vs the GP at
-    the same cuts (reference: make_multi_dla_plots.py:514-583)."""
+    """External-catalog CDDF and dN/dX at several SNR cuts — external
+    curves only, like the reference's figure
+    (reference: make_multi_dla_plots.py:514-583)."""
     plt = _plt()
     os.makedirs(subdir, exist_ok=True)
-    old_snr = cat.snr_thresh
-    try:
-        for snr, lbl in [(-2.0, "all"), (2.0, "SNR > 2"), (4.0, "SNR > 4")]:
-            cat.snr_thresh = snr
-            l_cent, cddf, xerrs = column_density_function_external(
-                est, z_max=zmax, snr_thresh=snr
-            )
-            ii = cddf > 0
-            plt.errorbar(
-                10.0 ** l_cent[ii], cddf[ii],
-                xerr=(xerrs[0][ii], xerrs[1][ii]), fmt="s",
-                label=f"{label} {lbl}", alpha=0.8,
-            )
-        plt.xscale("log")
-        plt.yscale("log")
-        plt.xlabel(r"$N_\mathrm{HI}$ (cm$^{-2}$)")
-        plt.ylabel(r"$f(N_\mathrm{HI})$")
-        plt.legend(loc=0)
-        save_figure(path.join(subdir, f"cddf_{label}_snr"))
-        plt.clf()
+    for snr, lbl in [(-2.0, "all"), (2.0, "SNR > 2"), (4.0, "SNR > 4")]:
+        l_cent, cddf, xerrs = column_density_function_external(
+            est, z_max=zmax, snr_thresh=snr
+        )
+        ii = cddf > 0
+        plt.errorbar(
+            10.0 ** l_cent[ii], cddf[ii],
+            xerr=(xerrs[0][ii], xerrs[1][ii]), fmt="s",
+            label=f"{label} {lbl}", alpha=0.8,
+        )
+    plt.xscale("log")
+    plt.yscale("log")
+    plt.xlabel(r"$N_\mathrm{HI}$ (cm$^{-2}$)")
+    plt.ylabel(r"$f(N_\mathrm{HI})$")
+    plt.legend(loc=0)
+    save_figure(path.join(subdir, f"cddf_{label}_snr"))
+    plt.clf()
 
-        for snr, lbl in [(-2.0, "all"), (2.0, "SNR > 2"), (4.0, "SNR > 4")]:
-            cat.snr_thresh = snr
-            z_cent, dNdX, xerrs = line_density_external(
-                est, z_max=zmax, snr_thresh=snr
-            )
-            plt.errorbar(
-                z_cent, dNdX, xerr=xerrs, fmt="s",
-                label=f"{label} {lbl}", alpha=0.8,
-            )
-        plt.xlabel("z")
-        plt.ylabel("dN/dX")
-        plt.legend(loc=0)
-        save_figure(path.join(subdir, f"dndx_{label}_snr"))
-        plt.clf()
-    finally:
-        cat.snr_thresh = old_snr
+    for snr, lbl in [(-2.0, "all"), (2.0, "SNR > 2"), (4.0, "SNR > 4")]:
+        z_cent, dNdX, xerrs = line_density_external(
+            est, z_max=zmax, snr_thresh=snr
+        )
+        plt.errorbar(
+            z_cent, dNdX, xerr=xerrs, fmt="s",
+            label=f"{label} {lbl}", alpha=0.8,
+        )
+    plt.xlabel("z")
+    plt.ylabel("dN/dX")
+    plt.legend(loc=0)
+    save_figure(path.join(subdir, f"dndx_{label}_snr"))
+    plt.clf()
 
 
 # ---------------------------------------------------------------------------
@@ -337,7 +337,9 @@ def do_this_mu_examples(
             params,
             map_z_dlas=map_z_dlas[i],
             map_log_nhis=map_log_nhis[i],
-            truth_dlas=(truth_dlas or [None] * len(models))[i],
+            truth_dlas=(
+                truth_dlas if truth_dlas is not None else [None] * len(models)
+            )[i],
         )
         save_figure(path.join(subdir, f"this_mu_{i}"))
         plt.clf()

@@ -148,9 +148,18 @@ def test_noterdaeme_estimations_analytic():
     rows = np.array([[110, 2.7, 20.5], [115, 2.9, 21.0], [999, 2.8, 21.5]])
     est = external.noterdaeme_estimations(rows, los_ids, our_ids, our_z)
     assert est.ids.size == 2  # id 999 not in our catalog
-    # search window: lyb + 3000 km/s to lya - 5000 km/s
-    want_min = (1 + 3.2) * (external.LYB_A / external.LYA_A + 3000e5 / 2.99792458e10) - 1
+    # search window EXACTLY as the reference computes it
+    # (qso_loader.py:1526-1527): the km/s offsets are added to the
+    # wavelengths in Angstroms — a numeric no-op — so the effective
+    # window is [(1+z) lyb/lya - 1, z]
+    kms3000 = 3000e5 / 2.99792458e10
+    kms5000 = 5000e5 / 2.99792458e10
+    want_min = (1 + 3.2) * (external.LYB_A + kms3000) / external.LYA_A - 1
+    want_max = (1 + 3.2) * (external.LYA_A - kms5000) / external.LYA_A - 1
     np.testing.assert_allclose(est.min_z_dlas, want_min, rtol=1e-12)
+    np.testing.assert_allclose(est.max_z_dlas, want_max, rtol=1e-12)
+    np.testing.assert_allclose(want_min, (1 + 3.2) * external.LYB_A / external.LYA_A - 1, rtol=1e-4)
+    np.testing.assert_allclose(want_max, 3.2, rtol=1e-4)
     z_cent, dNdX, _ = external.line_density_external(
         est, z_min=2.5, z_max=3.1, bins_per_z=1
     )
@@ -213,6 +222,7 @@ def test_write_mat73_header_and_layout(tmp_path):
             "a": np.arange(6, dtype=np.float64).reshape(2, 3),
             "flag": np.array([True, False]),
             "scalar": np.float64(3.5),
+            "names": np.array(["spec-a", "longer-name"]),
         },
     )
     # MATLAB signature in the userblock
@@ -229,6 +239,14 @@ def test_write_mat73_header_and_layout(tmp_path):
         assert f["a"].attrs["MATLAB_class"] == b"double"
         assert f["flag"].attrs["MATLAB_class"] == b"logical"
         assert f["scalar"].shape == (1, 1)
+        # strings: a MATLAB char matrix (uint16 code units, int_decode
+        # 2) — a uint8 export would load as an unusable numeric matrix
+        assert f["names"].attrs["MATLAB_class"] == b"char"
+        assert f["names"].attrs["MATLAB_int_decode"] == 2
+        rows = f["names"][()].T  # (2, width) uint16
+        assert rows.dtype == np.uint16
+        decoded = ["".join(map(chr, r)).rstrip() for r in rows]
+        assert decoded == ["spec-a", "longer-name"]
 
 
 def test_save2mat73_small_file(tmp_path):
@@ -363,9 +381,7 @@ def test_multi_dla_paper_drivers_render(tmp_path):
     est = external.parks_estimations(parks, np.arange(50), p_thresh=0.98)
     pm.do_external_CDDF(cat, est, sub, label="parks")
     pm.do_external_dNdX(cat, est, sub, label="parks")
-    old_snr = cat.snr_thresh
-    pm.do_external_snr_check(cat, est, sub, label="parks")
-    assert cat.snr_thresh == old_snr
+    pm.do_external_snr_check(est, sub, label="parks")
 
     import os
     made = set(os.listdir(sub))

@@ -25,6 +25,18 @@ def test_roc_perfect_classifier():
     assert auc == 1.0
 
 
+def test_roc_tied_scores_order_invariant():
+    """Tied scores get 0.5 credit (one diagonal segment per distinct
+    threshold), not an input-order-dependent staircase."""
+    p = np.array([0.5, 0.5])
+    for t in ([True, False], [False, True]):
+        _, _, _, auc = roc_curve(p, np.array(t))
+        assert auc == 0.5
+    # all-tied scores: AUC exactly 0.5 regardless of class balance
+    _, _, _, auc = roc_curve(np.full(10, 0.3), np.arange(10) < 3)
+    assert auc == 0.5
+
+
 def test_roc_random_classifier():
     rng = np.random.default_rng(0)
     p = rng.uniform(size=2000)
