@@ -73,10 +73,12 @@ def build_catalog(
     filter_flags[z_qsos < z_qso_cut] |= FILTER_Z_QSO
     filter_flags[np.asarray(cols["BAL_FLAG_VI"]) > 0] |= FILTER_BAL
     if zwarning_filter:
-        # keep MANY_OUTLIERS (bit 4 of zwarning) like the reference
-        # (multi_dlas/build_catalogs.m:53-59)
+        # keep ONLY the pure MANY_OUTLIERS flag (zwarning == 16
+        # exactly, not any combination containing the bit) like the
+        # reference (multi_dlas/build_catalogs.m:53-57:
+        # zwarning == bin2dec('10000'))
         zw = np.asarray(cols["ZWARNING"], np.int64)
-        bad = (zw > 0) & ~((zw & (1 << 4)) > 0)
+        bad = (zw > 0) & (zw != (1 << 4))
         filter_flags[bad] |= FILTER_ZWARNING
 
     in_dr9 = np.zeros(n, bool)

@@ -83,12 +83,12 @@ class PriorCatalog:
             filter_flags = catalog["filter_flags"][0, :]
             thing_ids = catalog["thing_ids"][0, :].astype(np.int64)
 
-        dla_cat = np.loadtxt(dla_catalog)
-        los_cat = np.loadtxt(los_catalog)
-        thing_ids_dla = dla_cat[:, 0].astype(np.int64)
-        z_dlas_cat = dla_cat[:, 1]
-        log_nhis_cat = dla_cat[:, 2]
-        thing_ids_los = los_cat.astype(np.int64)
+        from .build_catalog import load_dla_catalog_txt
+
+        # the shared loader is single-row-safe (np.atleast_2d)
+        thing_ids_dla, z_dlas_cat, log_nhis_cat, thing_ids_los = (
+            load_dla_catalog_txt(dla_catalog, los_catalog)
+        )
 
         los_ind = np.isin(thing_ids, thing_ids_los)
         dla_ind = np.isin(thing_ids, thing_ids_dla)

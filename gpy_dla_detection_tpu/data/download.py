@@ -62,16 +62,45 @@ def retrieve_raw_spec(
 
 
 def download_file_list(file_list: str, directory: str = ".") -> list[str]:
-    """Fetch every spectrum in a build_catalog file list."""
-    paths = []
+    """Fetch every spectrum in a build_catalog file list.
+
+    v5_7_2 plates emit TWO lines per spectrum in the list (the v5_7_2
+    location, then the v5_7_0 one — the reference's greedy list,
+    build_catalogs.m:111-117); alternatives collapse to ONE returned
+    path, trying each URL in order until one succeeds.
+
+    :return: one local path per unique file, in first-seen order.
+    """
+    alternates: dict[str, list[str]] = {}
+    order: list[str] = []
     with open(file_list) as f:
         for line in f:
             rel = line.strip()
             if not rel:
                 continue
-            url = f"{SDSS_BASE}/{rel.replace('/./', '/')}"
-            path = os.path.join(directory, os.path.basename(rel))
-            if not os.path.exists(path):
-                request.urlretrieve(url, path)
-            paths.append(path)
+            base = os.path.basename(rel)
+            if base not in alternates:
+                alternates[base] = []
+                order.append(base)
+            alternates[base].append(f"{SDSS_BASE}/{rel.replace('/./', '/')}")
+
+    os.makedirs(directory, exist_ok=True)
+    paths = []
+    for base in order:
+        path = os.path.join(directory, base)
+        if not os.path.exists(path):
+            last_err: Exception | None = None
+            for url in alternates[base]:
+                try:
+                    request.urlretrieve(url, path)
+                    last_err = None
+                    break
+                except Exception as e:  # try the next redux location
+                    last_err = e
+            if last_err is not None:
+                raise RuntimeError(
+                    f"could not download {base} from any of "
+                    f"{alternates[base]} (offline environment?): {last_err}"
+                ) from last_err
+        paths.append(path)
     return paths

@@ -64,17 +64,36 @@ def _read_header(f):
     return cards, nbytes
 
 
+# byte widths of the TFORM codes we parse structurally but do not
+# decode (bit arrays, complex, variable-length descriptors): one exotic
+# column in an HDU the caller never touches must not abort the read
+_TFORM_OPAQUE_WIDTHS = {
+    "X": lambda r: (r + 7) // 8,
+    "C": lambda r: 8 * r,
+    "M": lambda r: 16 * r,
+    "P": lambda r: 8 * r,
+    "Q": lambda r: 16 * r,
+}
+
+
 def _parse_tform(tform: str):
-    """'E' / '1E' / '10D' -> (dtype, bytes, repeat)."""
+    """'E' / '1E' / '10D' -> (dtype, bytes, repeat, code).  Unsupported
+    codes map to an opaque void dtype of the right width so the record
+    layout stays aligned (the column is skipped on extraction)."""
     i = 0
     while i < len(tform) and tform[i].isdigit():
         i += 1
     repeat = int(tform[:i]) if i else 1
     code = tform[i]
     if code == "A":
-        return (f"S{repeat}", repeat, 1)
-    dtype, size = _TFORM_DTYPES[code]
-    return (dtype, size * repeat, repeat)
+        return (f"S{repeat}", repeat, 1, code)
+    if code in _TFORM_DTYPES:
+        dtype, size = _TFORM_DTYPES[code]
+        return (dtype, size * repeat, repeat, code)
+    if code in _TFORM_OPAQUE_WIDTHS:
+        nbytes = _TFORM_OPAQUE_WIDTHS[code](repeat)
+        return (f"V{max(nbytes, 1)}", nbytes, 1, code)
+    raise ValueError(f"unsupported FITS TFORM code {code!r} in {tform!r}")
 
 
 def read_fits_tables(filename: str):
@@ -101,33 +120,52 @@ def read_fits_tables(filename: str):
             xtension = header.get("XTENSION", "")
             naxis1 = header.get("NAXIS1", 0)
             naxis2 = header.get("NAXIS2", 0)
-            data_bytes = naxis1 * naxis2
-            # the HDU data area includes PCOUNT heap bytes (variable-
-            # length arrays) after the fixed table — they must be part
-            # of the padding or every subsequent HDU misaligns
-            heap = header.get("PCOUNT", 0)
-            padded = (data_bytes + heap + BLOCK - 1) // BLOCK * BLOCK
+            # conforming-extension data size: |BITPIX|/8 x GCOUNT x
+            # (PCOUNT + prod NAXISn) — for BINTABLEs BITPIX=8/GCOUNT=1
+            # this is the fixed table plus the variable-length heap;
+            # for IMAGE extensions it scales with the pixel type (the
+            # old NAXIS1*NAXIS2 misaligned every subsequent HDU)
+            naxis = header.get("NAXIS", 0)
+            prod = 1 if naxis else 0
+            for i in range(1, naxis + 1):
+                prod *= header.get(f"NAXIS{i}", 0)
+            bpp = abs(header.get("BITPIX", 8)) // 8
+            total = bpp * header.get("GCOUNT", 1) * (
+                header.get("PCOUNT", 0) + prod
+            )
+            padded = (total + BLOCK - 1) // BLOCK * BLOCK
 
             if xtension.strip() != "BINTABLE":
                 f.seek(padded, 1)
                 continue
 
+            data_bytes = naxis1 * naxis2
             tfields = header.get("TFIELDS", 0)
-            names, dtypes = [], []
+            names, dtypes, codes = [], [], []
             for i in range(1, tfields + 1):
                 names.append(str(header.get(f"TTYPE{i}", f"col{i}")).strip())
-                dt, size, repeat = _parse_tform(str(header[f"TFORM{i}"]).strip())
-                dtypes.append((names[-1], dt, (repeat,) if repeat > 1 and not dt.startswith("S") else ()))
+                dt, size, repeat, code = _parse_tform(
+                    str(header[f"TFORM{i}"]).strip()
+                )
+                codes.append(code)
+                dtypes.append((names[-1], dt, (repeat,) if repeat > 1 and not dt.startswith(("S", "V")) else ()))
 
             raw = f.read(data_bytes)
             f.seek(padded - data_bytes, 1)
             rec = np.frombuffer(raw, dtype=np.dtype(dtypes), count=naxis2)
-            columns = {
-                name: np.ascontiguousarray(rec[name]).astype(
-                    rec[name].dtype.newbyteorder("=")
+            columns = {}
+            for name, code in zip(names, codes):
+                col = rec[name]
+                if col.dtype.kind == "V":
+                    continue  # opaque column (bit/complex/var-length)
+                arr = np.ascontiguousarray(col).astype(
+                    col.dtype.newbyteorder("=")
                 )
-                for name in names
-            }
+                if code == "L":
+                    # FITS logicals are ASCII 'T'/'F' bytes — both
+                    # truthy as raw u1
+                    arr = arr == ord("T")
+                columns[name] = arr
             tables.append({"name": str(header.get("EXTNAME", "")), "columns": columns})
     return tables
 

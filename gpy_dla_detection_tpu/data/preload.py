@@ -41,6 +41,12 @@ def preload_spectra(
     else:
         prep = preprocess
 
+    if len(filenames) != len(z_qsos):
+        raise ValueError(
+            f"{len(filenames)} filenames but {len(z_qsos)} z_qsos — a "
+            "silent zip truncation would leave trailing flags at 0 "
+            "('passed') for spectra that were never processed"
+        )
     spectra: list[Spectrum | None] = []
     flags = np.zeros(len(filenames), dtype=np.uint8)
     for i, (fname, z) in enumerate(zip(filenames, z_qsos)):
@@ -98,7 +104,12 @@ def save_preloaded(filename: str, spectra: list[Spectrum], ids=None) -> None:
     reference: preload_qsos.m:73-79)."""
     import h5py
 
-    batch = stack([s for s in spectra if s is not None])
+    survivors = [s for s in spectra if s is not None]
+    if not survivors:
+        raise ValueError(
+            "no spectra survived preprocessing — nothing to save"
+        )
+    batch = stack(survivors)
     kept = np.array([i for i, s in enumerate(spectra) if s is not None])
     with h5py.File(filename, "w") as f:
         for name in Spectrum._fields:

@@ -94,8 +94,17 @@ def fit_log_nhi_prior(
         kde[sl] = np.mean(
             np.exp(-0.5 * ((x[sl, None] - log_nhis[None, :]) / bw) ** 2), axis=1
         ) / (bw * np.sqrt(2.0 * np.pi))
-    f2, f1, f0 = np.polyfit(x, np.log(kde), 2)
-    if f2 >= 0:
+    # fit only where the KDE is strictly positive: with a tiny
+    # bandwidth the kernels underflow to exactly 0 at the grid edges,
+    # and log(0) = -inf would make polyfit return NaN coefficients
+    pos = kde > 0
+    if pos.sum() < 10:
+        raise ValueError(
+            "KDE support covers too little of the logNHI fit range; a "
+            "catalog-driven prior needs spread across the fit window"
+        )
+    f2, f1, f0 = np.polyfit(x[pos], np.log(kde[pos]), 2)
+    if not (f2 < 0):  # also rejects NaN
         raise ValueError(
             "quadratic log-pdf fit is not concave; the catalog's logNHI "
             "distribution does not support the Gaussian-mixture prior"
@@ -127,7 +136,13 @@ class SubDLASamples(NamedTuple):
 
 def halton_sequence(n: int, dim: int, skip: int = 0) -> np.ndarray:
     """Radical-inverse Halton sequence in bases (2, 3, 5, ...): (n, dim)."""
-    bases = [2, 3, 5, 7, 11][:dim]
+    primes = [2, 3, 5, 7, 11]
+    if dim > len(primes):
+        raise ValueError(
+            f"halton_sequence supports up to {len(primes)} dimensions, "
+            f"got {dim}"
+        )
+    bases = primes[:dim]
     out = np.empty((n, dim))
     idx = np.arange(skip + 1, skip + n + 1, dtype=np.int64)
     for d, b in enumerate(bases):
