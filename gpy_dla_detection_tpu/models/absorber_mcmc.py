@@ -13,23 +13,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..data.samples import _FIT_UPPER, _gaussian_fit_integral
+from ..data.samples import GARNETT_FIT, _FIT_UPPER, _gaussian_fit_integral
 from ..ops.logmvn import log_mvnpdf_low_rank
 from ..ops.voigt import voigt_absorption, voigt_absorption_civ
 from ..params import Parameters
 from .learned import SpectrumModel
 from .mcmc import run_ensemble
 
-_FIT_A = 1.2695
-_FIT_B = 50.863
-_FIT_C = -509.33
 
-
-def log_nhi_mixture_pdf_jnp(log_nhi, params: Parameters):
+def log_nhi_mixture_pdf_jnp(log_nhi, params: Parameters, fit=GARNETT_FIT):
     """jax twin of data.samples.log_nhi_mixture_pdf
-    (reference: dla_samples.py:106-131)."""
-    Z = float(_gaussian_fit_integral(params.fit_min_log_nhi, _FIT_UPPER))
-    fit = jnp.exp(-_FIT_A * log_nhi**2 + _FIT_B * log_nhi + _FIT_C) / Z
+    (reference: dla_samples.py:106-131) — the SAME LogNHIFit the QMC
+    sampling prior uses (a fitted prior may be passed instead)."""
+    Z = float(_gaussian_fit_integral(params.fit_min_log_nhi, _FIT_UPPER, fit))
+    fit_pdf = jnp.exp(-fit.A * log_nhi**2 + fit.B * log_nhi + fit.C) / Z
     width = params.uniform_max_log_nhi - params.uniform_min_log_nhi
     uniform = jnp.where(
         (log_nhi >= params.uniform_min_log_nhi)
@@ -37,7 +34,7 @@ def log_nhi_mixture_pdf_jnp(log_nhi, params: Parameters):
         1.0 / width,
         0.0,
     )
-    return params.alpha * fit + (1.0 - params.alpha) * uniform
+    return params.alpha * fit_pdf + (1.0 - params.alpha) * uniform
 
 
 def make_dla_log_posterior(model: SpectrumModel, params: Parameters, k_dlas: int = 1):

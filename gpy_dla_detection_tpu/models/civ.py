@@ -97,6 +97,10 @@ def civ_qmc_log_evidence(
         absorption,
         pair_basis(model.M),
     )
+    # the same extra 1/S Occam factor the DLA engine applies to every
+    # marginalized absorber (evidence.py; reference: dla_gp.py:155-158)
+    log_S = jnp.log(jnp.asarray(S, dtype))
+    lls = lls - log_S
     max_ll = jnp.max(lls)
     evidence = max_ll + jnp.log(jnp.mean(jnp.exp(lls - max_ll)))
     return evidence, lls

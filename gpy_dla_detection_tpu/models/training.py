@@ -30,6 +30,7 @@ import numpy as np
 
 from .. import constants as C
 from ..ops.logmvn import LOG_2PI
+from ..ops.optical_depth import mean_flux_suppression
 from ..params import Parameters
 from .learned import LearnedModel
 
@@ -86,6 +87,11 @@ def prepare_training_set(
 
         rest = wl / (1.0 + z)
         good = (~pm) & np.isfinite(fx) & np.isfinite(nv)
+        if not np.any(good):
+            # one unusable spectrum contributes an all-masked row (the
+            # MATLAB reference's NaNs are absorbed by the mask) instead
+            # of aborting the whole host-side preparation
+            continue
 
         # linear interpolation onto the rest grid; grid points outside
         # the observed range or straddling bad pixels are masked
@@ -97,21 +103,17 @@ def prepare_training_set(
         obs_wl = rest_grid * (1.0 + z)
         one_pz = obs_wl / C.LYA_WAVELENGTH_A  # 1 + z_lya per pixel
 
-        # lift the mean-flux suppression over the full Lyman series
-        tau = np.zeros(R)
-        for j in range(params.num_forest_lines):
-            lam_j = C.LYMAN_WAVELENGTHS_A[j]
-            osc_j = C.LYMAN_OSCILLATOR_STRENGTHS[j]
-            scale = (
-                params.prev_tau_0
-                * osc_j
-                / C.LYMAN_OSCILLATOR_STRENGTHS[0]
-                * lam_j
-                / C.LYA_WAVELENGTH_A
-            )
-            one_pz_j = obs_wl / lam_j
-            tau += np.where(one_pz_j - 1.0 <= z, scale * one_pz_j**params.prev_beta, 0.0)
-        a = np.exp(-tau)
+        # lift the mean-flux suppression over the full Lyman series —
+        # the SAME op build_spectrum_model uses to apply the
+        # suppression at inference time (ops/optical_depth.py), so the
+        # training-time lift cannot desynchronize from it
+        a = np.asarray(
+            mean_flux_suppression(
+                obs_wl, params.prev_beta, params.prev_tau_0, z,
+                params.num_forest_lines,
+            ),
+            np.float64,
+        )
 
         flux_out[i, ok] = f[ok] / a[ok]
         var_out[i, ok] = v[ok] / a[ok] ** 2
@@ -130,18 +132,27 @@ def prepare_training_set(
 
 def initialize(params: Parameters, train: TrainingSet) -> tuple[np.ndarray, TrainingParams]:
     """Empirical mean + PCA initialization
-    (reference: learn_qso_model_meanflux.m:130-160)."""
-    flux = np.where(train.mask, train.flux, np.nan)
-    mu = np.nanmean(flux, axis=0)
-    centered = flux - mu
+    (reference: learn_qso_model_meanflux.m:130-160).
 
-    filled = np.where(np.isfinite(centered), centered, 0.0)
+    Rest-grid columns never observed by ANY training spectrum get
+    finite placeholders (mu = 1, omega at the 1e-3 floor): their loss
+    contribution is masked out, but a NaN parameter would poison optax
+    L-BFGS's inner products and silently NaN the whole fit
+    (np.maximum(nan, 1e-3) is nan)."""
+    counts = train.mask.sum(axis=0)
+    safe = np.maximum(counts, 1)
+    filled_flux = np.where(train.mask, train.flux, 0.0)
+    mu = filled_flux.sum(axis=0) / safe
+    mu = np.where(counts > 0, mu, 1.0)
+    centered = np.where(train.mask, train.flux - mu, 0.0)
+
     # top-k principal components scaled by sqrt(eigenvalue)
-    _, s, vt = np.linalg.svd(filled, full_matrices=False)
-    Q = flux.shape[0]
+    _, s, vt = np.linalg.svd(centered, full_matrices=False)
+    Q = train.flux.shape[0]
     M0 = (vt[: params.k].T * (s[: params.k] / np.sqrt(Q)))
 
-    log_omega0 = np.log(np.maximum(np.nanstd(centered, axis=0), 1e-3))
+    var = (centered**2).sum(axis=0) / safe
+    log_omega0 = np.log(np.maximum(np.sqrt(var), 1e-3))
 
     return mu, TrainingParams(
         M=jnp.asarray(M0),

@@ -513,8 +513,13 @@ def inference_z_qso(
     z_grid, lls = _dispatch_scan(
         learned, spec, params, z_qso_min, z_qso_max, method
     )
-    idx = jnp.nanargmax(lls)
-    return float(z_grid[idx]), np.asarray(lls), np.asarray(z_grid)
+    lls_np = np.asarray(lls)
+    if not np.isfinite(lls_np).any():
+        # same contract as inference_z_qso_many: an all-NaN scan is
+        # NaN, not whatever grid endpoint jnp.nanargmax falls back to
+        return float("nan"), lls_np, np.asarray(z_grid)
+    idx = np.nanargmax(lls_np)
+    return float(np.asarray(z_grid)[idx]), lls_np, np.asarray(z_grid)
 
 
 def inference_z_qso_many(

@@ -367,11 +367,16 @@ def z_log_evidences_corr(
     iid_ll = iid_ll.reshape(-1)[:Z]
 
     # --- assemble the in-window evidence ---------------------------
-    # a fully-masked spectrum (or empty normalization window) has
-    # med = +inf with every correlation term 0; neutralize med so the
-    # 0 * inf products cannot poison the flat-zero scan the shift path
-    # produces in that case
-    med = jnp.where(jnp.isfinite(med), med, 1.0)
+    # a fully-masked SPECTRUM has med = +inf with every correlation
+    # term 0; neutralize med so the 0 * inf products cannot poison the
+    # flat-zero scan the shift path produces in that case.  A per-z
+    # empty NORMALIZATION WINDOW on an otherwise-valid spectrum is
+    # different: the normalized likelihood is undefined there, so the
+    # candidate must come back NaN (excluded by the caller's
+    # nanargmax) exactly like the exact/shift paths — not a finite
+    # garbage value competing in the argmax.
+    med_bad = ~jnp.isfinite(med)
+    med = jnp.where(med_bad, 1.0, med)
     med2 = med * med
     B = jnp.eye(k, dtype=f32)[None] + med2[:, None, None] * _tri_to_full(
         MiMj_b, k
@@ -383,6 +388,7 @@ def z_log_evidences_corr(
     in_ll = -0.5 * (
         quad0 - quad_corr + logdet0 + logdetB + n_in * LOG_2PI
     )
+    in_ll = jnp.where(med_bad & jnp.any(valid), jnp.nan, in_ll)
     return in_ll + iid_ll
 
 
