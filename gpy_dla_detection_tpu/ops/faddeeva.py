@@ -30,8 +30,8 @@ SQRT_PI = 1.7724538509055160273
 
 # region switch radius |z| and term counts (see accuracy test in
 # tests/test_faddeeva.py).  Term counts are dtype-tiered: the f32 path
-# (TPU production) uses N=20 / K=8 (abs err 3e-9 / rel 3e-11, both far
-# below f32 rounding); the f64 path uses N=40 / K=14 (~1e-14).
+# (TPU production) uses N=20 / K=5 (1.8e-8 relative at |z|=7, below
+# f32 rounding); the f64 path uses N=40 / K=14 (~1e-14).
 RADIUS = 7.0
 N_WEIDEMAN = 40
 N_CONTINUED_FRACTION = 14

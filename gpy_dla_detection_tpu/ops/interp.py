@@ -63,9 +63,12 @@ def chunked_searchsorted(sorted_values, queries, chunk: int = 128):
 
 
 def interp(xg, values, xq):
-    """Linear interpolation on an arbitrary ascending grid ``xg``."""
+    """Linear interpolation on an arbitrary ascending grid ``xg`` —
+    indexed through :func:`chunked_searchsorted` (``jnp.searchsorted``
+    is the serialized binary-search chain this module exists to
+    avoid)."""
     n = xg.shape[0]
-    idx = jnp.clip(jnp.searchsorted(xg, xq, side="right") - 1, 0, n - 2)
+    idx = jnp.clip(chunked_searchsorted(xg, xq) - 1, 0, n - 2)
     x_lo = jnp.take(xg, idx)
     x_hi = jnp.take(xg, idx + 1)
     frac = jnp.clip((xq - x_lo) / (x_hi - x_lo), 0.0, 1.0)

@@ -37,6 +37,19 @@ else:
     DEFAULT_VOIGT_IMPL = "exact"
 
 
+def largest_aligned_divisor(s: int, budget: int, align: int = 8):
+    """Largest multiple of ``align`` <= ``budget`` that divides ``s``,
+    or None when no such divisor exists (callers then pad to their
+    budget).  The shared sample-block sizing rule of the Pallas
+    kernels: a block that DIVIDES the sample count avoids the
+    pad + copy + slice pass the profiler measured at 12% of device
+    time (see ops/logmvn_pallas.py:_block_s)."""
+    for b in range(min(budget, s) // align * align, align - 1, -align):
+        if s % b == 0:
+            return b
+    return None
+
+
 def on_tpu(x) -> bool:
     """Best-effort: will ``x`` be dispatched to a TPU?
 

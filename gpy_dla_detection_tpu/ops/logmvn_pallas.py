@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .kernel_config import largest_aligned_divisor
 from .logmvn import LOG_2PI
 
 # two-kernel split (capacitance/MXU stage + factorization-chain stage,
@@ -84,9 +85,9 @@ def _block_s(n: int, s: int | None = None) -> int:
     else:
         budget = max(8, (BLOCK_S * _BLOCK_BUDGET_N // n) // 8 * 8)
     if s is not None:
-        for b in range(budget, 7, -8):
-            if s % b == 0:
-                return b
+        b = largest_aligned_divisor(s, budget)
+        if b is not None:
+            return b
     return budget
 
 
@@ -103,10 +104,7 @@ def _chain_block_s(s_pad: int) -> int:
     scoped-vmem stack, and at bs=2000 the 64 MB accounting limit
     overflows (75.3 MB) once the kernel is vmapped over a spectra
     batch."""
-    for b in range(min(1024, s_pad), 7, -8):
-        if s_pad % b == 0:
-            return b
-    return s_pad
+    return largest_aligned_divisor(s_pad, 1024) or s_pad
 
 
 def _assemble(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, extra_refs):
@@ -138,7 +136,11 @@ def _assemble(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, extra_refs):
     for extra_ref in extra_refs:
         a_raw = a_raw * extra_ref[:]
     a = jnp.where(mask > 0, a_raw, 1.0)
-    d_inv = mask / (omega2 * a * a + v)  # masked pixels -> 0
+    # masked pixels -> 0, with the denominator guarded like the XLA
+    # path's d_safe: a masked pixel with v == 0 (or NaN) must not turn
+    # d_inv into 0/0 = NaN on the kernel path only
+    d = omega2 * a * a + v
+    d_inv = mask / jnp.where(mask > 0, d, 1.0)
     delta = jnp.where(mask > 0, y - mu * a, 0.0)
 
     w = a * a * d_inv  # (BS, N)

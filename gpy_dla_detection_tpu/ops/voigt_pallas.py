@@ -22,6 +22,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
+from .kernel_config import largest_aligned_divisor
 from .faddeeva import (
     RADIUS,
     _wofz_cf,
@@ -205,12 +206,7 @@ def absorption_from_unit_tau_pallas(unit_tau, nhi, interpret: bool = False):
     S, P = unit_tau.shape
 
     # block size: largest 8-aligned divisor of S under the budget
-    budget = 512
-    block_s = budget
-    for b in range(budget, 7, -8):
-        if S % b == 0:
-            block_s = b
-            break
+    block_s = largest_aligned_divisor(S, 512) or 512
     n_blocks = -(-S // block_s)
     S_pad = n_blocks * block_s
     tau = jnp.asarray(unit_tau, jnp.float32)
@@ -299,12 +295,7 @@ def _absorption_windowed_pallas(
     L = c0.shape[1]
     assert P_pad % 128 == 0 and corr.shape[1] == L * 256
 
-    budget = 512
-    block_s = budget
-    for b in range(budget, 7, -8):
-        if S % b == 0:
-            block_s = b
-            break
+    block_s = largest_aligned_divisor(S, 512) or 512
     n_blocks = -(-S // block_s)
     S_pad = n_blocks * block_s
     far32 = jnp.asarray(far, jnp.float32)

@@ -204,6 +204,34 @@ def main(argv=None):
     def part_path(start):
         return f"{args.output}.part{start:08d}.pkl"
 
+    def part_meta(start):
+        """Identity of the batch a part file covers: parts are keyed by
+        start offset only, so resuming with a different --batch-size or
+        a reordered --qso_list must be detected, not silently misread
+        as completed work."""
+        return {
+            "batch_size": args.batch_size,
+            "files": list(args.qso_list[start : start + args.batch_size]),
+        }
+
+    def write_part(start, kept, errors, batch_results):
+        with open(part_path(start), "wb") as f:
+            pickle.dump((part_meta(start), kept, errors, batch_results), f)
+
+    def read_part(start):
+        with open(part_path(start), "rb") as f:
+            payload = pickle.load(f)
+        if len(payload) == 4:
+            meta, kept, errors, batch_results = payload
+            if meta != part_meta(start):
+                raise SystemExit(
+                    f"{part_path(start)} was written by a run with a "
+                    "different --batch-size or --qso_list; delete the "
+                    "part files or rerun with the original settings"
+                )
+            return kept, errors, batch_results
+        return payload  # legacy 3-tuple part (predates the metadata)
+
     def load_batch(start):
         """Read + preprocess one batch on the worker thread, with
         per-spectrum failure capture (the reference records
@@ -257,8 +285,7 @@ def main(argv=None):
             out, specs, subdla_samples, prior, args.max_dlas
         )
         if checkpoint:
-            with open(part_path(start), "wb") as f:
-                pickle.dump((kept, errors, batch_results), f)
+            write_part(start, kept, errors, batch_results)
         return batch_results
 
     def drain_one():
@@ -295,8 +322,7 @@ def main(argv=None):
         # window's batches)
         if checkpoint and os.path.exists(part_path(start)):
             drain_all()  # keep results in batch order
-            with open(part_path(start), "rb") as f:
-                batch_kept, batch_errors, batch_results = pickle.load(f)
+            batch_kept, batch_errors, batch_results = read_part(start)
             # the part file is the source of truth for this batch: any
             # errors from the (optional, --plot-figures-only) re-read
             # are ignored — its spectra were already cataloged
@@ -318,8 +344,7 @@ def main(argv=None):
         kept_all.extend(kept)
         if not specs:
             if checkpoint:
-                with open(part_path(start), "wb") as f:
-                    pickle.dump((kept, errors, []), f)
+                write_part(start, kept, errors, [])
             continue
         t_batch = time.time()
         out = dispatch_batch(

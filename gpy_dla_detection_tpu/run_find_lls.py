@@ -41,7 +41,14 @@ def main(argv=None):
     parser.add_argument("--min-log-nhi", type=float, default=17.2)
     parser.add_argument("--max-log-nhi", type=float, default=23.0)
     parser.add_argument("--min-lambda", type=float, default=850.0)
-    parser.add_argument("--boss-meanflux", action="store_true", default=True)
+    parser.add_argument(
+        "--boss-meanflux",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="apply the BOSS DR12 mean-flux lift to the learned model "
+        "(default on; --no-boss-meanflux disables it — the old "
+        "store_true/default=True combination made the flag dead)",
+    )
     parser.add_argument(
         "--prior",
         choices=["garnett", "uniform"],

@@ -230,6 +230,17 @@ def test_run_bayes_select_checkpoint_resume(tmp_path, monkeypatch):
         np.testing.assert_array_equal(f["p_dlas"][()], first)
         assert list(f["all_exceptions"][()]) == [3]
 
+    # parts are keyed by batch start only: resuming with a DIFFERENT
+    # --batch-size must be refused (a silent resume would drop the
+    # spectra beyond each stale part's coverage), not misread
+    import pytest
+
+    os.remove(out)
+    argv_bad = list(argv)
+    argv_bad[argv_bad.index("--batch-size") + 1] = "4"
+    with pytest.raises(SystemExit, match="different --batch-size"):
+        run_bayes_select.main(argv_bad)
+
 
 def test_run_analysis_cli(tmp_path, monkeypatch):
     """End to end: processed catalog -> full figure set + LaTeX tables
