@@ -47,7 +47,14 @@ def load():
         return _lib
     if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
         _build()
-    lib = ctypes.CDLL(_LIB)
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        # a stale binary from another arch/toolchain (e.g. a fresh
+        # clone whose checkout mtimes defeat the staleness check):
+        # rebuild once and retry before giving up
+        _build()
+        lib = ctypes.CDLL(_LIB)
 
     lib.faddeeva_real.argtypes = [
         ctypes.POINTER(ctypes.c_double),
@@ -88,6 +95,23 @@ def _ptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
 
+def _batch_1d(**arrays):
+    """Validate per-absorber parameter arrays: 1-D and one shared
+    length.  The C kernels flat-index them, so a length mismatch or a
+    2-D input is an out-of-bounds read / silently wrong result, not an
+    error the library can catch itself."""
+    out = {
+        k: np.atleast_1d(np.ascontiguousarray(v, np.float64))
+        for k, v in arrays.items()
+    }
+    shapes = {k: v.shape for k, v in out.items()}
+    if any(v.ndim != 1 for v in out.values()) or len(set(shapes.values())) != 1:
+        raise ValueError(
+            f"per-absorber parameters must be 1-D arrays of one length, got {shapes}"
+        )
+    return list(out.values())
+
+
 def faddeeva_real(x, y):
     """Re[w(x + iy)] via the native library."""
     lib = load()
@@ -113,8 +137,7 @@ def voigt_absorption(
     """
     lib = load()
     wavelengths = np.ascontiguousarray(wavelengths, np.float64)
-    nhi = np.atleast_1d(np.ascontiguousarray(nhi, np.float64))
-    z_absorber = np.atleast_1d(np.ascontiguousarray(z_absorber, np.float64))
+    nhi, z_absorber = _batch_1d(nhi=nhi, z_absorber=z_absorber)
     S = nhi.shape[0]
     P = wavelengths.shape[0]
     width = C.INSTRUMENT_PROFILE_HALF_WIDTH if broadening else 0
@@ -156,8 +179,7 @@ def voigt_absorption_lls(
     ops/voigt.py ``voigt_absorption_lls``)."""
     lib = load()
     wavelengths = np.ascontiguousarray(wavelengths, np.float64)
-    nhi = np.atleast_1d(np.ascontiguousarray(nhi, np.float64))
-    z_absorber = np.atleast_1d(np.ascontiguousarray(z_absorber, np.float64))
+    nhi, z_absorber = _batch_1d(nhi=nhi, z_absorber=z_absorber)
     S, P = nhi.shape[0], wavelengths.shape[0]
     width = C.INSTRUMENT_PROFILE_HALF_WIDTH if broadening else 0
     out = np.empty((S, P - 2 * width))
@@ -194,10 +216,9 @@ def voigt_absorption_civ(
     lib = load()
     wavelengths = np.ascontiguousarray(wavelengths, np.float64)
     nciv = np.atleast_1d(np.ascontiguousarray(nciv, np.float64))
-    z_civ = np.atleast_1d(np.ascontiguousarray(z_civ, np.float64))
-    sigma = np.atleast_1d(np.ascontiguousarray(
-        np.broadcast_to(sigma, nciv.shape), np.float64
-    ))
+    nciv, z_civ, sigma = _batch_1d(
+        nciv=nciv, z_civ=z_civ, sigma=np.broadcast_to(sigma, nciv.shape)
+    )
     S, P = nciv.shape[0], wavelengths.shape[0]
     width = C.INSTRUMENT_PROFILE_HALF_WIDTH if broadening else 0
     out = np.empty((S, P - 2 * width))

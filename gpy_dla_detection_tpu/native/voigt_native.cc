@@ -357,10 +357,16 @@ int64_t preprocess_spectrum(
     if (rest < min_lambda || rest > max_lambda) continue;
     if (n_w >= num_pixels_padded) return -1;
     padded_wavelengths[pad_width + n_w] = wavelengths[i];
-    const bool valid = !pixel_mask[i] && std::isfinite(flux[i]) &&
-                       std::isfinite(noise_variance[i]);
-    flux_out[n_w] = valid ? flux[i] * inv_med : 0.0;
-    var_out[n_w] = valid ? noise_variance[i] * inv_med2 : 1.0;
+    // validity is judged on the NORMALIZED values, matching the
+    // Python twin (data/spectrum.py) — with a zero or non-finite
+    // normalization median the scaled flux is inf/NaN and the pixel
+    // must be masked, not passed through
+    const double f_n = flux[i] * inv_med;
+    const double v_n = noise_variance[i] * inv_med2;
+    const bool valid = !pixel_mask[i] && std::isfinite(f_n) &&
+                       std::isfinite(v_n);
+    flux_out[n_w] = valid ? f_n : 0.0;
+    var_out[n_w] = valid ? v_n : 1.0;
     mask_out[n_w] = valid ? 1 : 0;
     ++n_w;
   }

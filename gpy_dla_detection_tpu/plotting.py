@@ -163,20 +163,20 @@ def plot_sample_predictions(
     rest = (np.asarray(model.padded_wavelengths)[3:-3] / (1 + float(model.z_qso)))[mask]
     fig, ax = plt.subplots(figsize=(14, 5))
     ax.plot(rest, np.asarray(model.y)[mask], lw=0.4, color="C0", label="observed")
-    for i in idx:
-        z = samples[i, :k]
-        log_nhi = samples[i, k:]
-        absorption = np.prod(
-            np.asarray(
-                voigt_absorption(
-                    model.padded_wavelengths, 10.0**log_nhi, z, params.num_lines
-                )
-            ),
-            axis=0,
+    # one batched Voigt dispatch over all draws x absorbers (the kernel
+    # is batched over the absorber axis precisely so callers don't loop)
+    z_flat = samples[idx, :k].reshape(-1)
+    nhi_flat = 10.0 ** samples[idx, k:].reshape(-1)
+    absorptions = np.asarray(
+        voigt_absorption(
+            model.padded_wavelengths, nhi_flat, z_flat, params.num_lines
         )
+    ).reshape(n_draws, k, -1).prod(axis=1)
+    mu = np.asarray(model.mu)
+    for absorption in absorptions:
         ax.plot(
             rest,
-            (np.asarray(model.mu) * absorption)[mask],
+            (mu * absorption)[mask],
             lw=0.1,
             color="C3",
             alpha=0.05,

@@ -120,21 +120,29 @@ def main():
             if os.path.exists(out_h5 + suffix):
                 os.remove(out_h5 + suffix)
         t0 = time.time()
-        subprocess.run(
-            [
-                sys.executable, "-m", "gpy_dla_detection_tpu.run_bayes_select",
-                "--qso_list", *names,
-                "--z_qso_list", *[f"{z}" for z in z_list],
-                "--batch-size", str(args.batch_size),
-                "--inflight", str(args.inflight),
-                "--output", out_h5,
-            ],
-            check=True,
-            env=env,
-            cwd=REPO,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-        )
+        # tee the child's output to a per-run log so a failing run
+        # leaves its traceback (and the completed runs' rates survive
+        # in stderr above) instead of a bare CalledProcessError
+        log_path = os.path.join(args.out, f"run{r}.log")
+        with open(log_path, "wb") as log:
+            proc = subprocess.run(
+                [
+                    sys.executable, "-m", "gpy_dla_detection_tpu.run_bayes_select",
+                    "--qso_list", *names,
+                    "--z_qso_list", *[f"{z}" for z in z_list],
+                    "--batch-size", str(args.batch_size),
+                    "--inflight", str(args.inflight),
+                    "--output", out_h5,
+                ],
+                env=env,
+                cwd=REPO,
+                stdout=log,
+                stderr=subprocess.STDOUT,
+            )
+        if proc.returncode != 0:
+            raise SystemExit(
+                f"run {r} failed (exit {proc.returncode}); see {log_path}"
+            )
         wall = time.time() - t0
         rate = steady_rate(out_h5 + ".metrics.jsonl", args.skip_batches)
         rates.append(rate)
