@@ -186,3 +186,54 @@ def test_path_length_noisy_pixel_filtering():
     zmid = 2.0 + (3.5 - 2.0) * (P // 2 - 1) / (P - 1)
     expect = 4 * _int.quad(path_length_integrand, 2.0, zmid)[0]
     np.testing.assert_allclose(filtered, expect, rtol=0.02)
+
+
+def test_from_file_reference_matlab_layout(tmp_path):
+    """from_file must load a reference-driver catalog: MATLAB-ordered
+    arrays ((k, S, Q) / (k, Q) / transposed vectors) and 1-BASED
+    base_sample_inds (the reference subtracts 1 on load,
+    calc_cddf.py:392-404) — and give identical per-sample statistics to
+    the same catalog in this framework's native layout."""
+    import h5py
+
+    rng = np.random.default_rng(5)
+    Q, S, K = 7, 40, 3
+    min_z = np.full(Q, 2.0)
+    max_z = np.full(Q, 3.5)
+    sll = rng.normal(-50.0, 5.0, (Q, S, K))
+    lld = rng.normal(-40.0, 3.0, (Q, K))
+    mp = rng.uniform(0.01, 1.0, (Q, 2 + K))
+    mp /= mp.sum(axis=1, keepdims=True)
+    base0 = rng.integers(0, S, (Q, S, K - 1)).astype(np.int64)
+    offsets = rng.uniform(size=S)
+    lnhi = rng.uniform(20.0, 22.5, size=S)
+
+    sample_file = str(tmp_path / "samples.h5")
+    with h5py.File(sample_file, "w") as f:
+        f["offset_samples"] = offsets[:, None]
+        f["log_nhi_samples"] = lnhi[:, None]
+
+    native = str(tmp_path / "native.h5")
+    matlab = str(tmp_path / "matlab.h5")
+    with h5py.File(native, "w") as f:
+        f["min_z_dlas"], f["max_z_dlas"] = min_z, max_z
+        f["sample_log_likelihoods_dla"] = sll
+        f["log_likelihoods_dla"] = lld
+        f["model_posteriors"] = mp
+        f["base_sample_inds"] = base0
+    with h5py.File(matlab, "w") as f:  # as h5py reads a v7.3 .mat
+        f["min_z_dlas"], f["max_z_dlas"] = min_z[None, :], max_z[None, :]
+        f["sample_log_likelihoods_dla"] = sll.T  # (K, S, Q)
+        f["log_likelihoods_dla"] = lld.T  # (K, Q)
+        f["model_posteriors"] = mp.T
+        f["base_sample_inds"] = base0.T + 1  # (K-1, S, Q), 1-based
+
+    cat_n = ProcessedCatalog.from_file(native, sample_file, max_k=K)
+    cat_m = ProcessedCatalog.from_file(matlab, sample_file, max_k=K)
+    np.testing.assert_array_equal(cat_m.base_sample_inds, base0)
+    for spec in range(Q):
+        for second in range(K):
+            ln_n, z_n = cat_n.sample_params(spec, second)
+            ln_m, z_m = cat_m.sample_params(spec, second)
+            np.testing.assert_allclose(np.asarray(ln_m), np.asarray(ln_n))
+            np.testing.assert_allclose(np.asarray(z_m), np.asarray(z_n))

@@ -231,3 +231,55 @@ def test_read_spec_dr14q_first_extension(tmp_path):
 
     assert spec_reader("dr12q") is read_spec
     assert spec_reader("dr14q") is read_spec_dr14q
+
+
+def test_image_extension_and_exotic_columns(tmp_path):
+    """A float IMAGE extension before the table must not misalign the
+    parse (its data size is |BITPIX|/8 x prod NAXISn, not
+    NAXIS1*NAXIS2), logical columns decode to booleans (raw 'T'/'F'
+    bytes are both truthy), and an opaque bit-array column is skipped
+    without aborting the read (FITS 4.0 sections 7.1, 7.3)."""
+    img = np.arange(200, dtype=">f4").reshape(10, 20)
+    img_bytes = img.tobytes()
+    image_hdu = _block(
+        [
+            _card("XTENSION", "IMAGE"),
+            _card("BITPIX", -32), _card("NAXIS", 2),
+            _card("NAXIS1", 20), _card("NAXIS2", 10),
+            _card("PCOUNT", 0), _card("GCOUNT", 1),
+        ]
+    ) + img_bytes + b"\x00" * ((-len(img_bytes)) % 2880)
+
+    n = 6
+    rec = np.zeros(n, dtype=[("flag", "u1"), ("bits", "u1"), ("val", ">f4")])
+    rec["flag"] = [ord(c) for c in "TFTFTT"]  # FITS logicals
+    rec["bits"] = 0xAA  # opaque 8-bit X column
+    rec["val"] = np.arange(n)
+    data = rec.tobytes()
+    table_hdu = _block(
+        [
+            _card("XTENSION", "BINTABLE"),
+            _card("BITPIX", 8), _card("NAXIS", 2),
+            _card("NAXIS1", rec.dtype.itemsize), _card("NAXIS2", n),
+            _card("PCOUNT", 0), _card("GCOUNT", 1),
+            _card("TFIELDS", 3),
+            _card("TTYPE1", "flag"), _card("TFORM1", "L"),
+            _card("TTYPE2", "bits"), _card("TFORM2", "8X"),
+            _card("TTYPE3", "val"), _card("TFORM3", "E"),
+            _card("EXTNAME", "TAB"),
+        ]
+    ) + data + b"\x00" * ((-len(data)) % 2880)
+
+    path = str(tmp_path / "exotic.fits")
+    with open(path, "wb") as f:
+        f.write(_block([_card("SIMPLE", True), _card("BITPIX", 8), _card("NAXIS", 0)]))
+        f.write(image_hdu)
+        f.write(table_hdu)
+
+    tables = read_fits_tables(path)
+    assert len(tables) == 1 and tables[0]["name"].strip() == "TAB"
+    cols = tables[0]["columns"]
+    assert "bits" not in cols  # opaque column skipped, not fatal
+    assert cols["flag"].dtype == bool
+    assert list(cols["flag"]) == [True, False, True, False, True, True]
+    np.testing.assert_allclose(cols["val"], np.arange(n))
