@@ -338,3 +338,42 @@ def test_run_zqso_cli(tmp_path, monkeypatch):
     assert z_map.shape == (2,)
     # grid spacing at 400 samples over [2.14, 6.16] is ~0.01
     np.testing.assert_allclose(z_map, z_true, atol=0.05)
+
+
+def test_run_bayes_select_systematic_resampler(tmp_path, monkeypatch):
+    """The survey CLI under the opt-in systematic resampler
+    (GPY_DLA_RESAMPLER=systematic): the injected DLA is still detected
+    and the recorded chained-level indices are one rotation of a
+    sorted comb (the gather-locality property)."""
+    import h5py
+
+    from gpy_dla_detection_tpu import run_bayes_select
+    from gpy_dla_detection_tpu.models import evidence
+
+    monkeypatch.setattr(evidence, "_RESAMPLER", "systematic")
+    params = Parameters(num_dla_samples=60)
+    learned = synthetic_learned_model(params)
+    wl, fx, nv, pm = synthetic_observation(
+        params, learned, 3.15, seed=1, dlas=[(2.85, 21.3)]
+    )
+    path = str(tmp_path / "spec-0009-55555-0001.fits")
+    _write_speclite(
+        path,
+        fx.astype(np.float32),
+        np.log10(wl).astype(np.float32),
+        (1.0 / nv).astype(np.float32),
+        np.where(pm, 1 << 24, 0).astype(np.int32),
+    )
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "sys.h5")
+    run_bayes_select.main(
+        [
+            "--qso_list", path, "--z_qso_list", "3.15",
+            "--max_dlas", "2", "--num-samples", "60",
+            "--dtype", "float64", "--output", out,
+        ]
+    )
+    with h5py.File(out, "r") as f:
+        assert f["p_dlas"][0] > 0.5, f["p_dlas"][()]
+        row = f["base_sample_inds"][()][0, :, 0]
+        assert int(np.sum(np.diff(row.astype(np.int64)) < 0)) <= 1
