@@ -56,8 +56,10 @@ _CHAIN_T: bool = os.environ.get("GPY_DLA_CHAIN_T", "1") == "1"
 # iteration and apply ONE combined trailing update, halving the number
 # of read-modify-write passes over the VMEM-resident T (the chain's
 # dominant cost is exactly those passes; the arithmetic is unchanged).
-# Requires even k; falls back to rank-1 otherwise.
-_CHAIN_R2: bool = os.environ.get("GPY_DLA_CHAIN_R2", "0") == "1"
+# Requires even k; falls back to rank-1 otherwise.  Measured 0.332 vs
+# 0.350 ms/call chain-only (kernel_ablate chain_xt2_1000), 130.7 ->
+# 132.0 spectra/s/chip end to end; GPY_DLA_CHAIN_R2=0 restores rank-1.
+_CHAIN_R2: bool = os.environ.get("GPY_DLA_CHAIN_R2", "1") == "1"
 
 # sample-block size: multiple of the f32 sublane tile (8).  Keep the
 # per-block live set (absorption block + ~6 elementwise temporaries +
