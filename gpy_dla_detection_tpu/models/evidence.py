@@ -220,13 +220,20 @@ def qmc_log_evidences(
             # streams and multiplied in VMEM — materializing their
             # running product would cost a full (S, N) read-modify-write
             # HBM pass per level >= 3.
-            gathered = jnp.take(A, base, axis=0)
+            # mode="clip" is load-bearing: jnp.take's default fill mode
+            # emits an out-of-bounds SELECT over the gathered output — a
+            # full extra (S, N) read+write HBM pass per chained level
+            # (profiler: 3 x 0.15 ms/spectrum).  base is in [0, S-1] by
+            # construction (_draw_base_indices clips its searchsorted
+            # result; base_inds_override comes from stored catalogs),
+            # so clip semantics are identical.
+            gathered = jnp.take(A, base, axis=0, mode="clip")
             if streams or not extra_factors:
                 extra_factors.append(gathered)
             else:
                 extra_factors[-1] = extra_factors[-1] * gathered
-            z_rows.append(z_samples[base])
-            lognhi_rows.append(log_nhi_samples[base])
+            z_rows.append(jnp.take(z_samples, base, mode="clip"))
+            lognhi_rows.append(jnp.take(log_nhi_samples, base, mode="clip"))
 
         ll = (
             batched_log_mvnpdf(

@@ -25,8 +25,10 @@ def interp_uniform(x0, dx, values, xq):
     t = (xq - x0) / dx
     idx = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n - 2)
     frac = jnp.clip(t - idx, 0.0, 1.0)
-    lo = jnp.take(values, idx, axis=0)
-    hi = jnp.take(values, idx + 1, axis=0)
+    # idx is clipped to [0, n-2] above; clip mode skips the fill-mode
+    # out-of-bounds select pass
+    lo = jnp.take(values, idx, axis=0, mode="clip")
+    hi = jnp.take(values, idx + 1, axis=0, mode="clip")
     if values.ndim == 2:
         frac = frac[..., None]
     return lo * (1.0 - frac) + hi * frac
@@ -57,7 +59,9 @@ def chunked_searchsorted(sorted_values, queries, chunk: int = 128):
     c_idx = jnp.clip(
         jnp.sum(q >= tops, axis=-1).astype(jnp.int32), 0, nc - 1
     )
-    rows = padded[c_idx]  # (..., chunk) gather from the tiny table
+    # mode="clip": c_idx is already clipped in-range; the default fill
+    # mode would add an out-of-bounds select pass over the gather
+    rows = jnp.take(padded, c_idx, axis=0, mode="clip")
     within = jnp.sum(q >= rows, axis=-1).astype(jnp.int32)
     return jnp.minimum(c_idx * chunk + within, n)
 
@@ -69,11 +73,11 @@ def interp(xg, values, xq):
     avoid)."""
     n = xg.shape[0]
     idx = jnp.clip(chunked_searchsorted(xg, xq) - 1, 0, n - 2)
-    x_lo = jnp.take(xg, idx)
-    x_hi = jnp.take(xg, idx + 1)
+    x_lo = jnp.take(xg, idx, mode="clip")
+    x_hi = jnp.take(xg, idx + 1, mode="clip")
     frac = jnp.clip((xq - x_lo) / (x_hi - x_lo), 0.0, 1.0)
-    lo = jnp.take(values, idx, axis=0)
-    hi = jnp.take(values, idx + 1, axis=0)
+    lo = jnp.take(values, idx, axis=0, mode="clip")
+    hi = jnp.take(values, idx + 1, axis=0, mode="clip")
     if values.ndim == 2:
         frac = frac[..., None]
     return lo * (1.0 - frac) + hi * frac
