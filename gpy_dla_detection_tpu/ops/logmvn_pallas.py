@@ -63,9 +63,15 @@ _CHAIN_R2: bool = os.environ.get("GPY_DLA_CHAIN_R2", "1") == "1"
 
 # sample-block size: multiple of the f32 sublane tile (8).  Keep the
 # per-block live set (absorption block + ~6 elementwise temporaries +
-# the (N, k^2) pair basis) comfortably under the ~16 MB VMEM budget —
-# oversized blocks send the Mosaic allocator into pathological search.
-BLOCK_S = 200
+# the (N, k^2) pair basis) under Mosaic's 64 MB scoped-vmem budget —
+# 1000-row blocks overflow it (71.2 MB) once vmapped over a spectra
+# batch, and oversized blocks send the allocator into pathological
+# search.  400 was re-measured AFTER the kernel split (the old fused
+# kernel regressed at 400 because the chain's SSA temporaries shared
+# the block budget; the split cap stage has no chain live set):
+# 141.0 (200) -> 142.3/141.4 (400) spectra/s/chip.
+# GPY_DLA_BLOCK_S overrides for on-device block-size experiments.
+BLOCK_S = int(os.environ.get("GPY_DLA_BLOCK_S", "400"))
 # pixel count the BLOCK_S budget was sized for; wider windows scale
 # the block down so BS * N stays within the same VMEM envelope
 _BLOCK_BUDGET_N = 1280
