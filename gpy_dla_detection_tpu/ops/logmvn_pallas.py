@@ -32,6 +32,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -60,6 +61,18 @@ _CHAIN_T: bool = os.environ.get("GPY_DLA_CHAIN_T", "1") == "1"
 # 0.350 ms/call chain-only (kernel_ablate chain_xt2_1000), 130.7 ->
 # 132.0 spectra/s/chip end to end; GPY_DLA_CHAIN_R2=0 restores rank-1.
 _CHAIN_R2: bool = os.environ.get("GPY_DLA_CHAIN_R2", "1") == "1"
+
+# packed-triangular capacitance: B is symmetric, so stage A computes
+# only the k(k+1)/2 = 210 lower-triangle columns (3 bf16 matmul passes
+# on half the lanes, half the B HBM round trip) and the chain runs
+# directly on the packed staircase layout — the trailing update at
+# iteration j touches (k-j)(k-j-1)/2 packed rows instead of (k-j-1)*k
+# flat rows (sum k^3/6 vs k^3/2 lane work).  Split+transposed path
+# only; rank-1 steps.  Measured: chain 0.332 (rank-2 flat) -> 0.259
+# ms/call (kernel_ablate chain_xtp_1000), bench 142.3 -> 156-160
+# spectra/s/chip end to end.  GPY_DLA_PACKED=0 restores the flat
+# layout (rank-2 flat chain).
+_PACKED: bool = os.environ.get("GPY_DLA_PACKED", "1") == "1"
 
 # sample-block size: multiple of the f32 sublane tile (8).  Keep the
 # per-block live set (absorption block + ~6 elementwise temporaries +
@@ -111,8 +124,10 @@ def _chain_block_s(s_pad: int) -> int:
     chain's unrolled SSA temporaries are all charged against Mosaic's
     scoped-vmem stack, and at bs=2000 the 64 MB accounting limit
     overflows (75.3 MB) once the kernel is vmapped over a spectra
-    batch."""
-    return largest_aligned_divisor(s_pad, 1024) or s_pad
+    batch.  GPY_DLA_CHAIN_BS overrides for experiments (the rank-2
+    chain halves the iteration count and with it the SSA stack)."""
+    cap = int(os.environ.get("GPY_DLA_CHAIN_BS", "1024"))
+    return largest_aligned_divisor(s_pad, cap) or s_pad
 
 
 def _assemble(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, extra_refs):
@@ -378,6 +393,81 @@ def _make_chain_kernel_t2(k: int):
     return _kernel
 
 
+def _packed_maps(k: int):
+    """Column-major lower-triangle packing: packed row r holds matrix
+    entry (a_r, j_r) with a >= j; column j's segment starts at
+    off_j = j*k - j*(j-1)//2 and is CONTIGUOUS (rows a = j..k-1), so
+    the chain's per-iteration column reads and staircase trailing
+    updates are static sublane slices."""
+    cols, rows_ = [], []
+    for j in range(k):
+        for a in range(j, k):
+            cols.append(j)
+            rows_.append(a)
+    return cols, rows_
+
+
+def _make_chain_kernel_tp(k: int):
+    """Packed transposed stage-B kernel: the factorization chain over
+    the (P, bs) PACKED capacitance (P = k(k+1)/2), samples on lanes.
+
+    Iteration j's column segment is packed rows 0..k-j-1 of the
+    shrinking T (matrix rows a = j..k-1, pivot at local row 0 — no
+    ``lower`` masking needed, the upper triangle is never stored), and
+    the trailing update subtracts L[a,j]·L[b,j] from the remaining
+    (k-j)(k-j-1)/2 packed rows via two 0/1 selection dots built from
+    the packed (column, row) index vectors: rep[r] = col[b_r - j],
+    tile[r] = col[a_r - j].  u shrinks in lockstep (row j is consumed
+    at iteration j), so no zero-padding of the column is ever built.
+    vs the flat transposed chain this is 3x less trailing lane work
+    and 3x fewer selection-dot MACs (sum (k-j)^2 vs k^2 per level)."""
+    P = k * (k + 1) // 2
+
+    def _kernel(B_ref, u_ref, misc_ref, colidx_ref, rowidx_ref, ll_ref):
+        colv = colidx_ref[:]  # (P, 1) i32: matrix column j of packed row
+        rowv = rowidx_ref[:]  # (P, 1) i32: matrix row a of packed row
+        # + I on the diagonal packed rows (a == j)
+        T = B_ref[:].T + (rowv == colv).astype(jnp.float32)  # (P, bs)
+        u = u_ref[:].T  # (k, bs)
+        misc = misc_ref[:].T  # (2, bs)
+        quad0 = misc[0:1, :]
+        logdet0 = misc[1:2, :]
+        quad = jnp.zeros_like(quad0)
+        logdet = jnp.zeros_like(logdet0)
+        for j in range(k):
+            seg = k - j
+            dj = T[0:1, :]
+            logdet = logdet + jnp.log(dj)
+            inv_sqrt = jax.lax.rsqrt(dj)
+            col = T[0:seg, :] * inv_sqrt  # (seg, bs): L[j.., j]
+            tj = u[0:1, :] * inv_sqrt
+            quad = quad + tj * tj
+            if seg > 1:
+                u = u[1:, :] - tj * col[1:, :]
+            rem_p = (seg - 1) * seg // 2
+            if rem_p:
+                colv = colv[seg:, :]
+                rowv = rowv[seg:, :]
+                c_iota = jax.lax.broadcasted_iota(jnp.int32, (rem_p, seg), 1)
+                R1 = (colv - j == c_iota).astype(jnp.float32)
+                R2 = (rowv - j == c_iota).astype(jnp.float32)
+                rep = jnp.dot(
+                    R1, col,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                tile = jnp.dot(
+                    R2, col,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                T = T[seg:, :] - rep * tile
+        ll = -0.5 * (quad0 - quad + logdet0 + logdet)  # (1, bs)
+        ll_ref[:] = ll.T  # (bs, 1)
+
+    return _kernel
+
+
 def _make_kernel(k: int, n_extra: int):
     """The single fused kernel (GPY_DLA_SPLIT_CHAIN=0 rollback path):
     :func:`_assemble` followed by the row-layout factorization chain in
@@ -444,12 +534,13 @@ def _make_kernel(k: int, n_extra: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "interpret", "chain_t", "chain_r2")
+    jax.jit,
+    static_argnames=("k", "interpret", "chain_t", "chain_r2", "packed"),
 )
 def batched_log_mvnpdf_pallas(
     y, mu, M, omega2, v, mask, absorption, M_pair, k: int,
     interpret: bool = False, extra=None, chain_t: bool | None = None,
-    chain_r2: bool | None = None,
+    chain_r2: bool | None = None, packed: bool | None = None,
 ):
     """Fused TPU evaluation of the batched masked Woodbury log-density.
 
@@ -486,14 +577,30 @@ def batched_log_mvnpdf_pallas(
         ]
     )  # (5, N)
 
+    if chain_t is None:
+        chain_t = _CHAIN_T
+    if chain_r2 is None:
+        chain_r2 = _CHAIN_R2
+    if packed is None:
+        packed = _PACKED
+    # packed requires the split transposed path; fall back otherwise
+    packed = packed and _SPLIT_CHAIN and chain_t
+
     Mp32 = M_pair.astype(jnp.float32)
+    if packed:
+        cols_l, rows_l = _packed_maps(k)
+        packed_cols = np.asarray(
+            [j * k + a for j, a in zip(cols_l, rows_l)], np.int32
+        )
+        Mp32 = Mp32[:, packed_cols]  # (N, k(k+1)/2)
+    kk = Mp32.shape[1]
     Mp_hi = Mp32.astype(jnp.bfloat16)
     Mp_lo = (Mp32 - Mp_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     blk_spec = pl.BlockSpec(
         (block_s, N), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    pair_spec = pl.BlockSpec((N, k * k), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    pair_spec = pl.BlockSpec((N, kk), lambda i: (0, 0), memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((5, N), lambda i: (0, 0), memory_space=pltpu.VMEM),  # rows
         pl.BlockSpec((N, k), lambda i: (0, 0), memory_space=pltpu.VMEM),  # M
@@ -514,7 +621,7 @@ def batched_log_mvnpdf_pallas(
             in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec(
-                    (block_s, k * k), lambda i: (i, 0), memory_space=pltpu.VMEM
+                    (block_s, kk), lambda i: (i, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
                     (block_s, k), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -524,19 +631,30 @@ def batched_log_mvnpdf_pallas(
                 ),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((S_pad, k * k), jnp.float32),
+                jax.ShapeDtypeStruct((S_pad, kk), jnp.float32),
                 jax.ShapeDtypeStruct((S_pad, k), jnp.float32),
                 jax.ShapeDtypeStruct((S_pad, 2), jnp.float32),
             ),
             compiler_params=vmem,
             interpret=interpret,
         )(*args)
-        if chain_t is None:
-            chain_t = _CHAIN_T
-        if chain_r2 is None:
-            chain_r2 = _CHAIN_R2
         bs2 = _chain_block_s(S_pad)
-        if chain_t and chain_r2 and k % 2 == 0:
+        chain_args = (B, u, misc)
+        chain_in_specs = [
+            pl.BlockSpec((bs2, kk), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs2, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        if packed:
+            chain_kernel = _make_chain_kernel_tp(k)
+            colidx = jnp.asarray(cols_l, jnp.int32)[:, None]  # (P, 1)
+            rowidx = jnp.asarray(rows_l, jnp.int32)[:, None]
+            chain_args = chain_args + (colidx, rowidx)
+            idx_spec = pl.BlockSpec(
+                (kk, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+            chain_in_specs += [idx_spec, idx_spec]
+        elif chain_t and chain_r2 and k % 2 == 0:
             chain_kernel = _make_chain_kernel_t2(k)
         elif chain_t:
             chain_kernel = _make_chain_kernel_t(k)
@@ -545,20 +663,14 @@ def batched_log_mvnpdf_pallas(
         (ll,) = pl.pallas_call(
             chain_kernel,
             grid=(S_pad // bs2,),
-            in_specs=[
-                pl.BlockSpec(
-                    (bs2, k * k), lambda i: (i, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec((bs2, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bs2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            ],
+            in_specs=chain_in_specs,
             out_specs=(
                 pl.BlockSpec((bs2, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ),
             out_shape=(jax.ShapeDtypeStruct((S_pad, 1), jnp.float32),),
             compiler_params=vmem,
             interpret=interpret,
-        )(B, u, misc)
+        )(*chain_args)
         return ll[:S, 0]
 
     (ll,) = pl.pallas_call(

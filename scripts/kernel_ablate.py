@@ -468,11 +468,50 @@ def build_chain_only(bs2: int, variant: str):
 
         _make_chain_kernel_t(k)(B_ref, u_ref, misc_ref, ll_ref)
 
+    def kb_xtp(B_ref, u_ref, misc_ref, colidx_ref, rowidx_ref, ll_ref):
+        # packed-triangular production kernel (GPY_DLA_PACKED)
+        from gpy_dla_detection_tpu.ops.logmvn_pallas import (
+            _make_chain_kernel_tp,
+        )
+
+        _make_chain_kernel_tp(k)(
+            B_ref, u_ref, misc_ref, colidx_ref, rowidx_ref, ll_ref
+        )
+
     # the lane (sample) dimension of a transposed block must be a
     # multiple of 128 (Mosaic); S=10000 has no such tiling, so the
     # transposed variants run padded to S_T=10240
     S_T = 10240
     vmem = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    if variant == "xtp":
+        P = K * (K + 1) // 2
+
+        @jax.jit
+        def fp(Bp, u, misc, colidx, rowidx):
+            (ll,) = pl.pallas_call(
+                kb_xtp,
+                grid=(S // bs2,),
+                in_specs=[
+                    pl.BlockSpec((bs2, P), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bs2, K), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bs2, 2), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((P, 1), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((P, 1), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(pl.BlockSpec((bs2, 1), lambda i: (i, 0),
+                                        memory_space=pltpu.VMEM),),
+                out_shape=(jax.ShapeDtypeStruct((S, 1), jnp.float32),),
+                compiler_params=vmem,
+            )(Bp, u, misc, colidx, rowidx)
+            return ll
+
+        return fp
+
     if variant in ("xt", "xt2"):
 
         @jax.jit
@@ -633,6 +672,20 @@ def main():
                 jax.device_put(jnp.asarray(uf)),
                 jax.device_put(jnp.asarray(mf)))
 
+    def chain_inputs_packed(seed: int):
+        from gpy_dla_detection_tpu.ops.logmvn_pallas import _packed_maps
+
+        Bf, uf, mf = chain_inputs(False, seed)
+        cols_l, rows_l = _packed_maps(K)
+        packed_cols = np.asarray(
+            [j * K + a for j, a in zip(cols_l, rows_l)], np.int32
+        )
+        Bp = jnp.asarray(np.asarray(Bf)[:, packed_cols])
+        colidx = jnp.asarray(cols_l, jnp.int32)[:, None]
+        rowidx = jnp.asarray(rows_l, jnp.int32)[:, None]
+        return (jax.device_put(Bp), uf, mf,
+                jax.device_put(colidx), jax.device_put(rowidx))
+
     stages = sys.argv[1:] or ["full", "decoupled_1000", "decoupled_2000",
                               "decoupled_2500", "decoupled_tri_2000"]
     row0 = None  # seed-0 row-layout oracle, compiled once across stages
@@ -642,10 +695,13 @@ def main():
         if stage.startswith("chain_"):
             variant, bs2 = stage[len("chain_"):].rsplit("_", 1)
             f = build_chain_only(int(bs2), variant)
-            ins = [
-                chain_inputs(variant not in ("row", "xt", "xt2"), s)
-                for s in range(4)
-            ]
+            if variant == "xtp":
+                ins = [chain_inputs_packed(s) for s in range(4)]
+            else:
+                ins = [
+                    chain_inputs(variant not in ("row", "xt", "xt2"), s)
+                    for s in range(4)
+                ]
             out0 = np.asarray(f(*ins[0]))  # compile
             # cross-variant correctness: all variants factor the same
             # seed-0 SPD systems, so ll must agree with the row layout

@@ -145,17 +145,22 @@ def test_pallas_chain_layouts_agree():
             *args, A, use_pallas=False, extra=jnp.asarray(extra)
         )
     )
-    for chain_t, chain_r2 in ((False, False), (True, False), (True, True)):
+    for chain_t, chain_r2, packed in (
+        (False, False, False),
+        (True, False, False),
+        (True, True, False),
+        (True, False, True),  # packed-triangular capacitance + chain
+    ):
         got = np.asarray(
             batched_log_mvnpdf_pallas(
                 *args, A, pair_basis(args[2]), k,
                 interpret=True, extra=jnp.asarray(extra), chain_t=chain_t,
-                chain_r2=chain_r2,
+                chain_r2=chain_r2, packed=packed,
             )
         )
         np.testing.assert_allclose(
             got, ref, atol=5e-3 * np.mean(np.abs(ref)),
-            err_msg=f"chain_t={chain_t} chain_r2={chain_r2}",
+            err_msg=f"chain_t={chain_t} chain_r2={chain_r2} packed={packed}",
         )
 
 
