@@ -468,6 +468,79 @@ def _make_chain_kernel_tp(k: int):
     return _kernel
 
 
+def _make_chain_kernel_tp2(k: int):
+    """Rank-2 packed transposed stage-B kernel: the packed staircase
+    chain of :func:`_make_chain_kernel_tp`, factoring columns (j, j+1)
+    per iteration with ONE combined trailing pass — the packed T is
+    read and written k/2 times instead of k.  Column j+1's contiguous
+    packed segment is pre-updated with col_j's rank-1 term (its rep
+    value is col_j[1], a single sublane row) before its own
+    factorization, preserving the exact rank-1 arithmetic.  Requires
+    even k."""
+    assert k % 2 == 0
+    P = k * (k + 1) // 2
+
+    def _kernel(B_ref, u_ref, misc_ref, colidx_ref, rowidx_ref, ll_ref):
+        colv = colidx_ref[:]  # (P, 1) i32
+        rowv = rowidx_ref[:]
+        T = B_ref[:].T + (rowv == colv).astype(jnp.float32)  # (P, bs)
+        u = u_ref[:].T  # (k, bs)
+        misc = misc_ref[:].T
+        quad0 = misc[0:1, :]
+        logdet0 = misc[1:2, :]
+        quad = jnp.zeros_like(quad0)
+        logdet = jnp.zeros_like(logdet0)
+        for j in range(0, k, 2):
+            seg = k - j  # column j's packed segment length
+            dj = T[0:1, :]
+            inv_j = jax.lax.rsqrt(dj)
+            col_j = T[0:seg, :] * inv_j  # rows a = j..k-1
+            tj = u[0:1, :] * inv_j
+            u = u[1:, :] - tj * col_j[1:, :]
+            # column j+1's segment (rows a = j+1..k-1), pre-updated
+            # with col_j's rank-1 term: L[a,j]*L[j+1,j]
+            bcol = T[seg : 2 * seg - 1, :] - col_j[1:2, :] * col_j[1:, :]
+            dj1 = bcol[0:1, :]
+            inv_j1 = jax.lax.rsqrt(dj1)
+            col_j1 = bcol * inv_j1  # rows a = j+1..k-1
+            tj1 = u[0:1, :] * inv_j1
+            if j + 2 < k:  # final pair consumes u entirely
+                u = u[1:, :] - tj1 * col_j1[1:, :]
+            quad = quad + tj * tj + tj1 * tj1
+            logdet = logdet + jnp.log(dj) + jnp.log(dj1)
+            done = 2 * seg - 1  # packed rows consumed by columns j, j+1
+            rem_p = P - (j * k - j * (j - 1) // 2) - done
+            if rem_p:
+                colv = colv[done:, :]
+                rowv = rowv[done:, :]
+                cj = jax.lax.broadcasted_iota(jnp.int32, (rem_p, seg), 1)
+                R1j = (colv - j == cj).astype(jnp.float32)
+                R2j = (rowv - j == cj).astype(jnp.float32)
+                cj1 = jax.lax.broadcasted_iota(
+                    jnp.int32, (rem_p, seg - 1), 1
+                )
+                R1j1 = (colv - (j + 1) == cj1).astype(jnp.float32)
+                R2j1 = (rowv - (j + 1) == cj1).astype(jnp.float32)
+                hi = jax.lax.Precision.HIGHEST
+                rep_j = jnp.dot(R1j, col_j,
+                                preferred_element_type=jnp.float32,
+                                precision=hi)
+                tile_j = jnp.dot(R2j, col_j,
+                                 preferred_element_type=jnp.float32,
+                                 precision=hi)
+                rep_j1 = jnp.dot(R1j1, col_j1,
+                                 preferred_element_type=jnp.float32,
+                                 precision=hi)
+                tile_j1 = jnp.dot(R2j1, col_j1,
+                                  preferred_element_type=jnp.float32,
+                                  precision=hi)
+                T = T[done:, :] - rep_j * tile_j - rep_j1 * tile_j1
+        ll = -0.5 * (quad0 - quad + logdet0 + logdet)
+        ll_ref[:] = ll.T
+
+    return _kernel
+
+
 def _make_kernel(k: int, n_extra: int):
     """The single fused kernel (GPY_DLA_SPLIT_CHAIN=0 rollback path):
     :func:`_assemble` followed by the row-layout factorization chain in
@@ -646,7 +719,10 @@ def batched_log_mvnpdf_pallas(
             pl.BlockSpec((bs2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
         if packed:
-            chain_kernel = _make_chain_kernel_tp(k)
+            if chain_r2 and k % 2 == 0:
+                chain_kernel = _make_chain_kernel_tp2(k)
+            else:
+                chain_kernel = _make_chain_kernel_tp(k)
             colidx = jnp.asarray(cols_l, jnp.int32)[:, None]  # (P, 1)
             rowidx = jnp.asarray(rows_l, jnp.int32)[:, None]
             chain_args = chain_args + (colidx, rowidx)

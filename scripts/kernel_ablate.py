@@ -472,18 +472,18 @@ def build_chain_only(bs2: int, variant: str):
         # packed-triangular production kernel (GPY_DLA_PACKED)
         from gpy_dla_detection_tpu.ops.logmvn_pallas import (
             _make_chain_kernel_tp,
+            _make_chain_kernel_tp2,
         )
 
-        _make_chain_kernel_tp(k)(
-            B_ref, u_ref, misc_ref, colidx_ref, rowidx_ref, ll_ref
-        )
+        maker = _make_chain_kernel_tp2 if variant == "xtp2" else _make_chain_kernel_tp
+        maker(k)(B_ref, u_ref, misc_ref, colidx_ref, rowidx_ref, ll_ref)
 
     # the lane (sample) dimension of a transposed block must be a
     # multiple of 128 (Mosaic); S=10000 has no such tiling, so the
     # transposed variants run padded to S_T=10240
     S_T = 10240
     vmem = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
-    if variant == "xtp":
+    if variant in ("xtp", "xtp2"):
         P = K * (K + 1) // 2
 
         @jax.jit
@@ -695,7 +695,7 @@ def main():
         if stage.startswith("chain_"):
             variant, bs2 = stage[len("chain_"):].rsplit("_", 1)
             f = build_chain_only(int(bs2), variant)
-            if variant == "xtp":
+            if variant in ("xtp", "xtp2"):
                 ins = [chain_inputs_packed(s) for s in range(4)]
             else:
                 ins = [

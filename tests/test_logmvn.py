@@ -150,6 +150,7 @@ def test_pallas_chain_layouts_agree():
         (True, False, False),
         (True, True, False),
         (True, False, True),  # packed-triangular capacitance + chain
+        (True, True, True),  # packed rank-2 chain (even k)
     ):
         got = np.asarray(
             batched_log_mvnpdf_pallas(
