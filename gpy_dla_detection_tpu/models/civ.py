@@ -22,7 +22,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.samples import halton_sequence
-from ..ops.logmvn import batched_log_mvnpdf, log_mvnpdf_low_rank, pair_basis
+from ..ops.logmvn import (
+    batched_log_mvnpdf,
+    likelihood_pair_basis,
+    log_mvnpdf_low_rank,
+)
 from ..ops.voigt import voigt_absorption_civ
 from ..params import CIVParameters
 from .learned import SpectrumModel
@@ -95,7 +99,7 @@ def civ_qmc_log_evidence(
         model.v,
         model.mask,
         absorption,
-        pair_basis(model.M),
+        likelihood_pair_basis(model.M),
     )
     # the same extra 1/S Occam factor the DLA engine applies to every
     # marginalized absorber (evidence.py; reference: dla_gp.py:155-158)

@@ -35,8 +35,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.interp import chunked_searchsorted
-from ..ops.kernel_config import resolve_use_pallas
-from ..ops.logmvn import batched_log_mvnpdf, log_mvnpdf_low_rank, pair_basis
+from ..ops.kernel_config import ABS_I16_SCALE, resolve_use_pallas
+from ..ops.logmvn import (
+    batched_log_mvnpdf,
+    likelihood_pair_basis,
+    log_mvnpdf_low_rank,
+)
 from ..ops.voigt import (
     absorption_from_unit_tau,
     voigt_absorption,
@@ -70,6 +74,26 @@ if _RESAMPLER not in ("multinomial", "systematic"):
         f"GPY_DLA_RESAMPLER must be 'multinomial' or 'systematic', "
         f"got {_RESAMPLER!r}"
     )
+
+# storage format of the (S, N) single-absorber profiles and their
+# gathered chained streams.  The likelihood kernel decodes to f32 in
+# VMEM, so "i16" halves every HBM pass over the profile arrays (the 5
+# kernel reads of A, the per-level stream reads, and the 3 chained-row
+# gather passes — together the largest traffic item of the pipeline).
+# i16 arrays store round(a * 32767) — fixed point, since a is in [0, 1]
+# by construction — with UNIFORM 1.5e-5 absolute error.  bf16 storage
+# was measured and rejected: its 8-bit mantissa gives 2e-3-scale errors
+# at mid-absorption pixels -> 0.8 rms per-sample log-likelihood noise
+# and +0.3-0.6 log-evidence bias; the fixed-point grid keeps the
+# per-level evidences within ~1e-3 of exact storage
+# (tests/test_pipeline_conformance.py pins it).  GPY_DLA_ABS_DTYPE=f32
+# restores exact storage.
+_ABS_DTYPE_NAME: str = os.environ.get("GPY_DLA_ABS_DTYPE", "i16")
+if _ABS_DTYPE_NAME not in ("f32", "i16"):
+    raise ValueError(
+        f"GPY_DLA_ABS_DTYPE must be 'f32' or 'i16', got {_ABS_DTYPE_NAME!r}"
+    )
+_ABS_DTYPE = {"f32": jnp.float32, "i16": jnp.int16}[_ABS_DTYPE_NAME]
 
 
 def _draw_base_indices(key, probs, resampler: str) -> jnp.ndarray:
@@ -134,6 +158,7 @@ def qmc_log_evidences(
     use_pallas: bool | None = None,
     voigt_impl: str | None = None,
     unit_tau: jnp.ndarray | None = None,
+    abs_dtype=None,
 ) -> QMCEvidenceResult:
     """Marginalize the k-absorber models over the QMC sample set.
 
@@ -154,17 +179,24 @@ def qmc_log_evidences(
         (reference: multi_dlas/set_lls_parameters.m:22,59), so the
         batch layer computes the expensive Faddeeva factor once and
         passes it to both marginalizations.
+    :param abs_dtype: storage dtype of the (S, N) profiles (None =
+        GPY_DLA_ABS_DTYPE; conformance tests pin jnp.float32).
     """
     S = offset_samples.shape[0]
     dtype = model.y.dtype
     log_S = jnp.log(jnp.asarray(S, dtype))
     min_sep = jnp.asarray(params.min_z_separation, dtype)
+    if abs_dtype is None:
+        # the compact default applies to the f32 production pipeline
+        # only — f64 runs are the high-precision conformance path
+        abs_dtype = _ABS_DTYPE if dtype == jnp.float32 else dtype
+    store = abs_dtype if abs_dtype != dtype else None
 
     z_samples = model.min_z_dla + (model.max_z_dla - model.min_z_dla) * offset_samples
 
     # single-absorber profiles for every sample, computed once: (S, N)
     if unit_tau is not None and profile == "dla":
-        A = absorption_from_unit_tau(unit_tau, nhi_samples)
+        A = absorption_from_unit_tau(unit_tau, nhi_samples, out_dtype=store)
     else:
         A = PROFILES[profile](
             model.padded_wavelengths,
@@ -173,8 +205,15 @@ def qmc_log_evidences(
             params.num_lines,
             impl=voigt_impl,
         )
+        if store is not None:
+            if jnp.dtype(store) == jnp.int16:
+                A = jnp.round(A * ABS_I16_SCALE)  # fixed-point storage
+            A = A.astype(store)
 
-    M_pair = pair_basis(model.M)
+    # the basis is shared by all max_k + 1 likelihood calls; build it
+    # once in the layout the resolved kernel wants (packed triangle on
+    # the packed Pallas path — ops/logmvn.likelihood_pair_basis)
+    M_pair = likelihood_pair_basis(model.M, use_pallas)
 
     # separate extra streams only pay inside the Pallas kernel (the
     # gathered rows multiply in VMEM); the XLA composition would
@@ -228,10 +267,21 @@ def qmc_log_evidences(
             # result; base_inds_override comes from stored catalogs),
             # so clip semantics are identical.
             gathered = jnp.take(A, base, axis=0, mode="clip")
-            if streams or not extra_factors:
+            if streams:
+                # the kernel decodes each stream in VMEM; int16
+                # fixed-point rows stay int16 through the gather (half
+                # the HBM pass)
                 extra_factors.append(gathered)
             else:
-                extra_factors[-1] = extra_factors[-1] * gathered
+                # XLA running product accumulates decoded profiles in
+                # the spectrum dtype
+                g = gathered.astype(dtype)
+                if gathered.dtype == jnp.int16:
+                    g = g * (1.0 / ABS_I16_SCALE)  # decode fixed point
+                if not extra_factors:
+                    extra_factors.append(g)
+                else:
+                    extra_factors[-1] = extra_factors[-1] * g
             z_rows.append(jnp.take(z_samples, base, mode="clip"))
             lognhi_rows.append(jnp.take(log_nhi_samples, base, mode="clip"))
 
@@ -271,10 +321,20 @@ def qmc_log_evidences(
         log_evidences.append(evidence)
         sample_lls.append(jnp.where(valid & alive, ll, jnp.nan))
 
-        # MAP chain for this level (reference: dla_gp.py:428-472)
+        # MAP chain for this level (reference: dla_gp.py:428-472).
+        # One-hot masked sums, NOT r[maxind]: the vmapped dynamic
+        # scalar gather lowers to a serialized S(1)-scratch gather the
+        # profiler measured at 9 ms per batch step PER EXTRACTION
+        # (0.78 ms/spectrum across the levels); the masked reduction is
+        # bit-exact (one nonzero term) and fuses into the level's
+        # elementwise work.
         maxind = jnp.argmax(jnp.where(valid, ll, -jnp.inf))
-        z_chain = jnp.stack([r[maxind] for r in z_rows])  # (k0+1,)
-        n_chain = jnp.stack([r[maxind] for r in lognhi_rows])
+        onehot = jnp.arange(S) == maxind  # (S,) exactly one True
+        pick = lambda rows: jnp.sum(
+            jnp.where(onehot[None, :], jnp.stack(rows), 0.0), axis=1
+        )
+        z_chain = pick(z_rows)  # (k0+1,)
+        n_chain = pick(lognhi_rows)
         pad = jnp.full((max_k - k0 - 1,), jnp.nan, dtype)
         map_z.append(jnp.concatenate([z_chain, pad]))
         map_lognhi.append(jnp.concatenate([n_chain, pad]))

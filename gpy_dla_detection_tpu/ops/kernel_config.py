@@ -101,3 +101,12 @@ def resolve_voigt_impl(impl: str | None, x) -> str:
     if impl != "exact" and not (pallas_eligible(x) and on_tpu(x)):
         return "exact"
     return impl
+
+
+# fixed-point scale of int16 absorption-profile storage
+# (GPY_DLA_ABS_DTYPE=i16, models/evidence.py): profiles are in [0, 1]
+# by construction, stored as round(a * ABS_I16_SCALE) and decoded as
+# x * (1 / ABS_I16_SCALE) — uniform 1.5e-5 absolute error at half the
+# HBM traffic of f32.  Shared by the encode (ops/voigt*) and decode
+# (ops/logmvn*) sides.
+ABS_I16_SCALE = 32767.0

@@ -33,7 +33,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .kernel_config import on_tpu, resolve_use_pallas
+from .kernel_config import ABS_I16_SCALE, on_tpu, resolve_use_pallas
 
 LOG_2PI = 1.8378770664093453
 
@@ -91,6 +91,21 @@ def pair_basis(M):
     used to form all per-sample capacitance matrices with one matmul."""
     N, k = M.shape
     return (M[:, :, None] * M[:, None, :]).reshape(N, k * k)
+
+
+def likelihood_pair_basis(M, use_pallas=None):
+    """Pair basis in the layout the RESOLVED likelihood backend wants:
+    the packed lower triangle when the packed Pallas kernel will run
+    (so the per-call packed-column gather disappears — it measured
+    2.1 ms per 32-spectrum batch step, x3 instances), the flat (N, k^2)
+    outer-product basis otherwise.  Callers that share one basis across
+    several ``batched_log_mvnpdf`` calls should use this."""
+    if resolve_use_pallas(use_pallas, M):
+        from .logmvn_pallas import packed_pair_basis, packed_path_active
+
+        if packed_path_active():
+            return packed_pair_basis(M)
+    return pair_basis(M)
 
 
 def batched_quad_logdet(B, u):
@@ -151,7 +166,7 @@ def batched_log_mvnpdf(
     """
     k = M.shape[-1]
     if M_pair is None:
-        M_pair = pair_basis(M)
+        M_pair = likelihood_pair_basis(M, use_pallas)
 
     # Fused Pallas kernel: everything from noise assembly through the
     # k x k Cholesky runs VMEM-resident; see ops/logmvn_pallas.py.
@@ -163,9 +178,25 @@ def batched_log_mvnpdf(
             interpret=not on_tpu(y), extra=extra,
         )
 
+    if k > 1 and M_pair.shape[-1] == k * (k + 1) // 2:
+        # a packed basis (likelihood_pair_basis on the Pallas path)
+        # reached the XLA composition: rebuild the flat layout
+        M_pair = pair_basis(M)
+
+    # int16-stored profiles (GPY_DLA_ABS_DTYPE) hold the fixed-point
+    # code round(a * ABS_I16_SCALE) — uniform 1.5e-5 absolute error
+    # (bf16 was measured and rejected: 0.8 rms per-sample ll noise);
+    # decode on entry so the composition below runs in the spectrum
+    # dtype like the kernel path
+    def _decode(x):
+        if x.dtype == jnp.int16:
+            return x.astype(y.dtype) * (1.0 / ABS_I16_SCALE)
+        return x.astype(y.dtype)
+
+    absorption = _decode(absorption)
     if extra is not None:
         for e in extra if isinstance(extra, (tuple, list)) else (extra,):
-            absorption = absorption * e
+            absorption = absorption * _decode(e)
 
     a = jnp.where(mask, absorption, 1.0)
     d = omega2 * a * a + v

@@ -36,7 +36,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .kernel_config import largest_aligned_divisor
+from .kernel_config import ABS_I16_SCALE, largest_aligned_divisor
 from .logmvn import LOG_2PI
 
 # two-kernel split (capacitance/MXU stage + factorization-chain stage,
@@ -155,9 +155,18 @@ def _assemble(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, extra_refs):
     omega2 = rows[2:3, :]
     v = rows[3:4, :]
     mask = rows[4:5, :]  # f32 0/1
-    a_raw = a_ref[:]  # (BS, N)
+    # absorption (and chained streams) may arrive in int16 fixed-point
+    # storage (round(a * 32767); GPY_DLA_ABS_DTYPE, models/evidence.py):
+    # decode in VMEM — the math stays f32, only HBM traffic halves
+    def _decode(ref):
+        x = ref[:].astype(jnp.float32)
+        if ref.dtype == jnp.int16:
+            x = x * (1.0 / ABS_I16_SCALE)
+        return x
+
+    a_raw = _decode(a_ref)  # (BS, N)
     for extra_ref in extra_refs:
-        a_raw = a_raw * extra_ref[:]
+        a_raw = a_raw * _decode(extra_ref)
     a = jnp.where(mask > 0, a_raw, 1.0)
     # masked pixels -> 0, with the denominator guarded like the XLA
     # path's d_safe: a masked pixel with v == 0 (or NaN) must not turn
@@ -407,6 +416,27 @@ def _packed_maps(k: int):
     return cols, rows_
 
 
+def packed_path_active() -> bool:
+    """True when :func:`batched_log_mvnpdf_pallas` will run the
+    packed-triangular capacitance path under the env defaults — i.e.
+    when a packed pair basis (``packed_pair_basis``) is the layout to
+    precompute."""
+    return _PACKED and _SPLIT_CHAIN and _CHAIN_T
+
+
+def packed_pair_basis(M):
+    """Lower-triangle pair basis ``P[n, r] = M[n, a_r] M[n, j_r]`` in
+    the packed staircase order of :func:`_packed_maps` — built directly
+    from M's columns.  Selecting the 210 packed columns out of the flat
+    (N, k^2) basis inside the kernel wrapper instead was a (210, B, N)
+    XLA gather per likelihood call, 2.1 ms per 32-spectrum batch step
+    x3 instances on the bench profile; here the per-spectrum basis is
+    formed once and shared by all 5 likelihood calls."""
+    k = M.shape[-1]
+    cols_l, rows_l = _packed_maps(k)
+    return M[:, np.asarray(rows_l)] * M[:, np.asarray(cols_l)]
+
+
 def _make_chain_kernel_tp(k: int):
     """Packed transposed stage-B kernel: the factorization chain over
     the (P, bs) PACKED capacitance (P = k(k+1)/2), samples on lanes.
@@ -634,8 +664,18 @@ def batched_log_mvnpdf_pallas(
     n_blocks = -(-S // block_s)
     S_pad = n_blocks * block_s
     if S_pad != S:
+        # padding rows must decode to absorption 1.0: raw storage pads
+        # with ones, int16 fixed-point storage with the full-scale code
         pad = lambda x: jnp.concatenate(
-            [x, jnp.ones((S_pad - S, N), x.dtype)], axis=0
+            [
+                x,
+                jnp.full(
+                    (S_pad - S, N),
+                    int(ABS_I16_SCALE) if x.dtype == jnp.int16 else 1.0,
+                    x.dtype,
+                ),
+            ],
+            axis=0,
         )
         absorption = pad(absorption)
         extras = tuple(pad(e) for e in extras)
@@ -660,12 +700,22 @@ def batched_log_mvnpdf_pallas(
     packed = packed and _SPLIT_CHAIN and chain_t
 
     Mp32 = M_pair.astype(jnp.float32)
-    if packed:
-        cols_l, rows_l = _packed_maps(k)
+    kk_packed = k * (k + 1) // 2
+    pre_packed = k > 1 and M_pair.shape[1] == kk_packed
+    cols_l, rows_l = _packed_maps(k)
+    if packed and not pre_packed:
         packed_cols = np.asarray(
             [j * k + a for j, a in zip(cols_l, rows_l)], np.int32
         )
         Mp32 = Mp32[:, packed_cols]  # (N, k(k+1)/2)
+    elif pre_packed and not packed:
+        # a packed basis reached a flat-layout path (env override after
+        # the caller precomputed): expand via the symmetric inverse map
+        flat_cols = np.empty(k * k, np.int32)
+        for r, (j, a) in enumerate(zip(cols_l, rows_l)):
+            flat_cols[j * k + a] = r
+            flat_cols[a * k + j] = r
+        Mp32 = Mp32[:, flat_cols]
     kk = Mp32.shape[1]
     Mp_hi = Mp32.astype(jnp.bfloat16)
     Mp_lo = (Mp32 - Mp_hi.astype(jnp.float32)).astype(jnp.bfloat16)

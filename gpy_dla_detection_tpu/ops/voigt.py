@@ -296,7 +296,9 @@ def unit_lyman_optical_depth(
     return tau
 
 
-def absorption_from_unit_tau(unit_tau, nhi, broadening: bool = True):
+def absorption_from_unit_tau(
+    unit_tau, nhi, broadening: bool = True, out_dtype=None
+):
     """Broadened absorption profile from a precomputed unit optical
     depth: ``conv(exp(-nhi * unit_tau))``.  The cheap (exp + 7-tap
     conv) tail of :func:`voigt_absorption`, reusable across
@@ -306,7 +308,15 @@ def absorption_from_unit_tau(unit_tau, nhi, broadening: bool = True):
     kernel (the XLA unrolled convolution pays a lane relayout per
     shifted read — 12.6% of total device time on the bench profile).
     A :class:`WindowedTauParts` input additionally moves the window
-    placement into the same kernel."""
+    placement into the same kernel.
+
+    :param out_dtype: storage dtype of the result (None = the input
+        dtype).  The QMC evidence loop stores the (S, N) profiles as
+        int16 fixed point (GPY_DLA_ABS_DTYPE, models/evidence.py;
+        round(a * ABS_I16_SCALE)): the math here stays f32 and only the
+        final store quantizes, halving every downstream HBM pass over
+        the profile array.
+    """
     nhi = jnp.asarray(nhi)
     from .kernel_config import on_tpu
 
@@ -320,7 +330,9 @@ def absorption_from_unit_tau(unit_tau, nhi, broadening: bool = True):
         ):
             from .voigt_pallas import absorption_windowed_pallas
 
-            return absorption_windowed_pallas(unit_tau, nhi)
+            return absorption_windowed_pallas(
+                unit_tau, nhi, out_dtype=out_dtype
+            )
         unit_tau = _place_windows(unit_tau)
     if (
         broadening
@@ -331,11 +343,18 @@ def absorption_from_unit_tau(unit_tau, nhi, broadening: bool = True):
     ):
         from .voigt_pallas import absorption_from_unit_tau_pallas
 
-        return absorption_from_unit_tau_pallas(unit_tau, nhi)
+        return absorption_from_unit_tau_pallas(
+            unit_tau, nhi, out_dtype=out_dtype
+        )
     raw = jnp.exp(-nhi[..., None] * unit_tau)
-    if broadening:
-        return instrumental_broadening(raw)
-    return raw
+    out = instrumental_broadening(raw) if broadening else raw
+    if out_dtype is not None:
+        if jnp.dtype(out_dtype) == jnp.int16:
+            from .kernel_config import ABS_I16_SCALE
+
+            out = jnp.round(out * ABS_I16_SCALE)  # fixed-point storage
+        out = out.astype(out_dtype)
+    return out
 
 
 def voigt_absorption(

@@ -22,7 +22,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
-from .kernel_config import largest_aligned_divisor
+from .kernel_config import ABS_I16_SCALE, largest_aligned_divisor
 from .faddeeva import (
     RADIUS,
     _wofz_cf,
@@ -183,11 +183,17 @@ def _abs_tail_kernel(tau_ref, nhi_ref, out_ref, *, taps, width):
     acc = taps[0] * raw[:, 0:n]
     for t in range(1, 2 * width + 1):
         acc = acc + taps[t] * raw[:, t : t + n]
-    out_ref[:] = acc
+    if out_ref.dtype == jnp.int16:
+        # fixed-point storage round(a * 32767) (ops/kernel_config.py
+        # ABS_I16_SCALE): uniform 1.5e-5 absolute error, half the HBM
+        acc = jnp.round(acc * ABS_I16_SCALE)
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def absorption_from_unit_tau_pallas(unit_tau, nhi, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def absorption_from_unit_tau_pallas(
+    unit_tau, nhi, interpret: bool = False, out_dtype=None
+):
     """Fused broadened absorption from a unit optical depth:
     ``conv(exp(-nhi[:, None] * unit_tau))`` as one kernel.
 
@@ -229,7 +235,9 @@ def absorption_from_unit_tau_pallas(unit_tau, nhi, interpret: bool = False):
         out_specs=pl.BlockSpec(
             (block_s, P - 2 * width), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((S_pad, P - 2 * width), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (S_pad, P - 2 * width), out_dtype or jnp.float32
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
@@ -268,10 +276,14 @@ def _abs_windowed_kernel(
     acc = taps[0] * raw[:, 0:n]
     for t in range(1, 2 * width + 1):
         acc = acc + taps[t] * raw[:, t : t + n]
-    out_ref[:] = acc
+    if out_ref.dtype == jnp.int16:
+        acc = jnp.round(acc * ABS_I16_SCALE)  # fixed-point storage
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
-def absorption_windowed_pallas(parts, nhi, interpret: bool = False):
+def absorption_windowed_pallas(
+    parts, nhi, interpret: bool = False, out_dtype=None
+):
     """Fused broadened absorption from unplaced windowed-tau parts
     (ops/voigt.WindowedTauParts): placement + exp + broadening as one
     kernel.
@@ -281,12 +293,16 @@ def absorption_windowed_pallas(parts, nhi, interpret: bool = False):
     return _absorption_windowed_pallas(
         parts.far, parts.corr, parts.c0, nhi,
         num_pixels=parts.num_pixels, interpret=interpret,
+        out_dtype=out_dtype,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_pixels", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("num_pixels", "interpret", "out_dtype")
+)
 def _absorption_windowed_pallas(
-    far, corr, c0, nhi, num_pixels: int, interpret: bool = False
+    far, corr, c0, nhi, num_pixels: int, interpret: bool = False,
+    out_dtype=None,
 ):
     width = C.INSTRUMENT_PROFILE_HALF_WIDTH
     taps = tuple(float(t) for t in C.INSTRUMENT_PROFILE)
@@ -323,7 +339,9 @@ def _absorption_windowed_pallas(
         out_specs=pl.BlockSpec(
             (block_s, P - 2 * width), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((S_pad, P - 2 * width), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (S_pad, P - 2 * width), out_dtype or jnp.float32
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),

@@ -165,6 +165,53 @@ def test_pallas_chain_layouts_agree():
         )
 
 
+def test_pallas_i16_profile_decode():
+    """int16 fixed-point absorption/stream storage (GPY_DLA_ABS_DTYPE,
+    models/evidence.py) must decode identically in the Pallas kernel
+    and the XLA composition, including the padding rows (full-scale
+    code = absorption 1.0) when S is not block-aligned."""
+    import jax.numpy as jnp
+
+    from gpy_dla_detection_tpu.ops.kernel_config import ABS_I16_SCALE
+    from gpy_dla_detection_tpu.ops.logmvn import batched_log_mvnpdf
+    from gpy_dla_detection_tpu.ops.logmvn_pallas import (
+        batched_log_mvnpdf_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    N, k, S = 512, 4, 72  # pads to 80 rows in the kernel wrapper
+    M = (rng.normal(size=(N, k)) / np.sqrt(k) * 0.1).astype(np.float32)
+    y = (1 + 0.1 * rng.normal(size=N)).astype(np.float32)
+    mu = np.ones(N, np.float32)
+    omega2 = rng.uniform(0.01, 0.05, N).astype(np.float32)
+    v = rng.uniform(0.02, 0.1, N).astype(np.float32)
+    mask = rng.uniform(size=N) > 0.1
+    enc = lambda a: np.round(a * ABS_I16_SCALE).astype(np.int16)
+    absorption = np.exp(-rng.random((S, N))).astype(np.float32)
+    extra = np.exp(-rng.random((S, N))).astype(np.float32)
+
+    args = [jnp.asarray(x) for x in (y, mu, M, omega2, v, mask)]
+    ref = np.asarray(
+        batched_log_mvnpdf(
+            *args,
+            jnp.asarray(enc(absorption)),
+            use_pallas=False,
+            extra=jnp.asarray(enc(extra)),
+        )
+    )
+    got = np.asarray(
+        batched_log_mvnpdf_pallas(
+            *args,
+            jnp.asarray(enc(absorption)),
+            pair_basis(args[2]),
+            k,
+            interpret=True,
+            extra=(jnp.asarray(enc(extra)),),
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=5e-3 * np.mean(np.abs(ref)))
+
+
 def test_pallas_multi_extra_streams():
     """``extra`` as a tuple of chained-absorber streams (multiplied in
     VMEM, the level >= 3 evidence configuration) must equal the XLA

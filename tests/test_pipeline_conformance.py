@@ -9,6 +9,7 @@ tiny stub standing in for its .mat-backed sample/prior classes.
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 from gpy_dla_detection_tpu.data.samples import (
     generate_dla_samples,
@@ -178,6 +179,7 @@ def test_dla_evidences_match_reference(setup):
         MAX_DLAS,
         setup["params"],
         base_inds_override=ref.base_sample_inds,
+        abs_dtype=jnp.float32,  # exact storage: this is the oracle check
     )
     np.testing.assert_allclose(
         np.asarray(result.log_evidences), setup["ref_dla_evs"], rtol=1e-7, atol=1e-4
@@ -205,9 +207,51 @@ def test_subdla_evidence_matches_reference(setup):
         jax.random.PRNGKey(0),
         1,
         setup["params"],
+        abs_dtype=jnp.float32,
     )
     np.testing.assert_allclose(
         np.asarray(result.log_evidences), setup["ref_sub_evs"], rtol=1e-7, atol=1e-4
+    )
+
+
+def test_i16_profile_storage_accuracy(setup):
+    """int16 fixed-point profile storage (GPY_DLA_ABS_DTYPE default) vs
+    exact f32 storage: the stored absorption quantizes once to a
+    1/32767 grid (1.5e-5 uniform absolute error) — the level evidences
+    and per-sample log likelihoods must stay orders of magnitude inside
+    the reference's own acceptance tolerances (2.5 in log evidence
+    MATLAB-to-Python, 5e-2 in p_dla; reference: tests/test_model.py:278,
+    tests/test_selection.py:437).  bf16 storage was measured here and
+    rejected: 0.8 rms per-sample ll noise, +0.3-0.6 evidence bias."""
+    ref = setup["ref_dla"]
+    s = setup["dla_samples"]
+    results = {}
+    for name, dt in (("f32", jnp.float32), ("i16", jnp.int16)):
+        results[name] = qmc_log_evidences(
+            setup["model"],
+            s.offset_samples,
+            s.log_nhi_samples,
+            s.nhi_samples,
+            jax.random.PRNGKey(0),
+            MAX_DLAS,
+            setup["params"],
+            abs_dtype=dt,
+            base_inds_override=ref.base_sample_inds,
+        )
+    ev32 = np.asarray(results["f32"].log_evidences)
+    ev16 = np.asarray(results["i16"].log_evidences)
+    assert np.all(np.abs(ev32 - ev16) < 0.02), ev32 - ev16
+    l32 = np.asarray(results["f32"].sample_log_likelihoods)
+    l16 = np.asarray(results["i16"].sample_log_likelihoods)
+    m = np.isfinite(l32)
+    assert np.array_equal(m, np.isfinite(l16))
+    d = np.abs(l16[m] - l32[m])
+    assert np.sqrt(np.mean(d**2)) < 0.02, np.sqrt(np.mean(d**2))
+    # the MAP sample must not move under the quantization
+    np.testing.assert_allclose(
+        np.asarray(results["f32"].map_z_dlas),
+        np.asarray(results["i16"].map_z_dlas),
+        rtol=0, atol=1e-6, equal_nan=True,
     )
 
 
