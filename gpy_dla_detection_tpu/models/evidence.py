@@ -88,12 +88,20 @@ if _RESAMPLER not in ("multinomial", "systematic"):
 # per-level evidences within ~1e-3 of exact storage
 # (tests/test_pipeline_conformance.py pins it).  GPY_DLA_ABS_DTYPE=f32
 # restores exact storage.
-_ABS_DTYPE_NAME: str = os.environ.get("GPY_DLA_ABS_DTYPE", "i16")
-if _ABS_DTYPE_NAME not in ("f32", "i16"):
+_ABS_DTYPE_NAME: str = os.environ.get("GPY_DLA_ABS_DTYPE", "i16p")
+if _ABS_DTYPE_NAME not in ("f32", "i16", "i16p"):
     raise ValueError(
-        f"GPY_DLA_ABS_DTYPE must be 'f32' or 'i16', got {_ABS_DTYPE_NAME!r}"
+        f"GPY_DLA_ABS_DTYPE must be 'f32', 'i16' or 'i16p', "
+        f"got {_ABS_DTYPE_NAME!r}"
     )
-_ABS_DTYPE = {"f32": jnp.float32, "i16": jnp.int16}[_ABS_DTYPE_NAME]
+# "i16p" (default) packs TWO i16 codes per int32 lane (contiguous
+# halves): same bytes as i16, but XLA's element-rate-bound row gather
+# moves half the elements — the chained-level gathers measure 2.15x
+# faster (ops/kernel_config.py).  Requires an even pixel count; odd-N
+# models fall back to plain i16 per spectrum.
+_ABS_DTYPE = {"f32": jnp.float32, "i16": jnp.int16, "i16p": jnp.int32}[
+    _ABS_DTYPE_NAME
+]
 
 
 def _draw_base_indices(key, probs, resampler: str) -> jnp.ndarray:
@@ -190,6 +198,8 @@ def qmc_log_evidences(
         # the compact default applies to the f32 production pipeline
         # only — f64 runs are the high-precision conformance path
         abs_dtype = _ABS_DTYPE if dtype == jnp.float32 else dtype
+    if jnp.dtype(abs_dtype) == jnp.int32 and model.y.shape[0] % 2:
+        abs_dtype = jnp.int16  # packed pairs need an even pixel count
     store = abs_dtype if abs_dtype != dtype else None
 
     z_samples = model.min_z_dla + (model.max_z_dla - model.min_z_dla) * offset_samples
@@ -206,9 +216,9 @@ def qmc_log_evidences(
             impl=voigt_impl,
         )
         if store is not None:
-            if jnp.dtype(store) == jnp.int16:
-                A = jnp.round(A * ABS_I16_SCALE)  # fixed-point storage
-            A = A.astype(store)
+            from ..ops.voigt import encode_profile_store
+
+            A = encode_profile_store(A, store)
 
     # the basis is shared by all max_k + 1 likelihood calls; build it
     # once in the layout the resolved kernel wants (packed triangle on
@@ -275,9 +285,16 @@ def qmc_log_evidences(
             else:
                 # XLA running product accumulates decoded profiles in
                 # the spectrum dtype
-                g = gathered.astype(dtype)
                 if gathered.dtype == jnp.int16:
-                    g = g * (1.0 / ABS_I16_SCALE)  # decode fixed point
+                    g = gathered.astype(dtype) * (1.0 / ABS_I16_SCALE)
+                elif gathered.dtype == jnp.int32:  # packed i16 pairs
+                    lo = (gathered & 0xFFFF).astype(dtype)
+                    hi = (gathered >> 16).astype(dtype)
+                    g = jnp.concatenate([lo, hi], axis=-1) * (
+                        1.0 / ABS_I16_SCALE
+                    )
+                else:
+                    g = gathered.astype(dtype)
                 if not extra_factors:
                     extra_factors.append(g)
                 else:

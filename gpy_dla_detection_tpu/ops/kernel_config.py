@@ -110,3 +110,15 @@ def resolve_voigt_impl(impl: str | None, x) -> str:
 # HBM traffic of f32.  Shared by the encode (ops/voigt*) and decode
 # (ops/logmvn*) sides.
 ABS_I16_SCALE = 32767.0
+
+
+# int32 PACKED i16-pair storage (GPY_DLA_ABS_DTYPE=i16p, the default):
+# lane j of a packed (S, N/2) int32 array holds the fixed-point codes
+# of pixels j (low half) and j + N/2 (high half) — contiguous halves,
+# so pack/unpack are two static lane slices and a concat, never an
+# interleave.  XLA's TPU row gather is ELEMENT-rate bound (measured
+# 0.134/0.170/0.079 ms per (10k, 1280) gather for f32/i16/packed-i32:
+# same bytes, half the elements, 2.15x faster than i16), so the
+# chained-level gathers ride the packed form and the kernels decode in
+# VMEM.  Codes are in [0, 32767] so the sign bit of both halves is
+# always clear: arithmetic >> 16 and & 0xffff recover them exactly.

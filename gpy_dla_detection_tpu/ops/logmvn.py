@@ -183,14 +183,19 @@ def batched_log_mvnpdf(
         # reached the XLA composition: rebuild the flat layout
         M_pair = pair_basis(M)
 
-    # int16-stored profiles (GPY_DLA_ABS_DTYPE) hold the fixed-point
-    # code round(a * ABS_I16_SCALE) — uniform 1.5e-5 absolute error
-    # (bf16 was measured and rejected: 0.8 rms per-sample ll noise);
-    # decode on entry so the composition below runs in the spectrum
-    # dtype like the kernel path
+    # int16/int32-stored profiles (GPY_DLA_ABS_DTYPE) hold fixed-point
+    # codes round(a * ABS_I16_SCALE) — int32 packs two codes per lane
+    # as contiguous halves (uniform 1.5e-5 absolute error; bf16 was
+    # measured and rejected: 0.8 rms per-sample ll noise); decode on
+    # entry so the composition below runs in the spectrum dtype like
+    # the kernel path
     def _decode(x):
         if x.dtype == jnp.int16:
             return x.astype(y.dtype) * (1.0 / ABS_I16_SCALE)
+        if x.dtype == jnp.int32:
+            lo = (x & 0xFFFF).astype(y.dtype)
+            hi = (x >> 16).astype(y.dtype)
+            return jnp.concatenate([lo, hi], axis=-1) * (1.0 / ABS_I16_SCALE)
         return x.astype(y.dtype)
 
     absorption = _decode(absorption)

@@ -156,9 +156,17 @@ def _assemble(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, extra_refs):
     v = rows[3:4, :]
     mask = rows[4:5, :]  # f32 0/1
     # absorption (and chained streams) may arrive in int16 fixed-point
-    # storage (round(a * 32767); GPY_DLA_ABS_DTYPE, models/evidence.py):
-    # decode in VMEM — the math stays f32, only HBM traffic halves
+    # storage (round(a * 32767)) or int32 PACKED i16-pair storage (two
+    # codes per lane, contiguous halves — GPY_DLA_ABS_DTYPE,
+    # models/evidence.py): decode in VMEM — the math stays f32, only
+    # the HBM traffic (and the chained XLA gathers' element count)
+    # shrinks
     def _decode(ref):
+        if ref.dtype == jnp.int32:
+            p = ref[:]
+            lo = (p & 0xFFFF).astype(jnp.float32)
+            hi = (p >> 16).astype(jnp.float32)
+            return jnp.concatenate([lo, hi], axis=1) * (1.0 / ABS_I16_SCALE)
         x = ref[:].astype(jnp.float32)
         if ref.dtype == jnp.int16:
             x = x * (1.0 / ABS_I16_SCALE)
@@ -653,7 +661,8 @@ def batched_log_mvnpdf_pallas(
     (S, N) absorption factor — or a tuple of them — multiplied into the
     absorption block in VMEM.
     """
-    S, N = absorption.shape
+    N = y.shape[0]  # logical pixel count (packed arrays store N/2 lanes)
+    S = absorption.shape[0]
     if extra is None:
         extras = ()
     elif isinstance(extra, (tuple, list)):
@@ -663,17 +672,23 @@ def batched_log_mvnpdf_pallas(
     block_s = _block_s(N, S)
     n_blocks = -(-S // block_s)
     S_pad = n_blocks * block_s
-    if S_pad != S:
+
+    def _fill_one(dtype):
         # padding rows must decode to absorption 1.0: raw storage pads
-        # with ones, int16 fixed-point storage with the full-scale code
+        # with ones, int16 fixed point with the full-scale code, packed
+        # int32 with the code in both halves
+        if dtype == jnp.int16:
+            return int(ABS_I16_SCALE)
+        if dtype == jnp.int32:
+            code = int(ABS_I16_SCALE)
+            return code | (code << 16)
+        return 1.0
+
+    if S_pad != S:
         pad = lambda x: jnp.concatenate(
             [
                 x,
-                jnp.full(
-                    (S_pad - S, N),
-                    int(ABS_I16_SCALE) if x.dtype == jnp.int16 else 1.0,
-                    x.dtype,
-                ),
+                jnp.full((S_pad - S, x.shape[1]), _fill_one(x.dtype), x.dtype),
             ],
             axis=0,
         )
@@ -720,20 +735,23 @@ def batched_log_mvnpdf_pallas(
     Mp_hi = Mp32.astype(jnp.bfloat16)
     Mp_lo = (Mp32 - Mp_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    blk_spec = pl.BlockSpec(
-        (block_s, N), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
+    def blk_spec(x):
+        w = x.shape[1]
+        return pl.BlockSpec(
+            (block_s, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
     pair_spec = pl.BlockSpec((N, kk), lambda i: (0, 0), memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((5, N), lambda i: (0, 0), memory_space=pltpu.VMEM),  # rows
         pl.BlockSpec((N, k), lambda i: (0, 0), memory_space=pltpu.VMEM),  # M
         pair_spec,  # M_pair high bf16 half
         pair_spec,  # M_pair low bf16 half
-        blk_spec,  # absorption
+        blk_spec(absorption),  # absorption
     ]
     args = [rows, M.astype(jnp.float32), Mp_hi, Mp_lo, absorption]
     for e in extras:
-        in_specs.append(blk_spec)
+        in_specs.append(blk_spec(e))
         args.append(e)
 
     if _SPLIT_CHAIN:

@@ -348,13 +348,30 @@ def absorption_from_unit_tau(
         )
     raw = jnp.exp(-nhi[..., None] * unit_tau)
     out = instrumental_broadening(raw) if broadening else raw
-    if out_dtype is not None:
-        if jnp.dtype(out_dtype) == jnp.int16:
-            from .kernel_config import ABS_I16_SCALE
+    return encode_profile_store(out, out_dtype)
 
-            out = jnp.round(out * ABS_I16_SCALE)  # fixed-point storage
-        out = out.astype(out_dtype)
-    return out
+
+def encode_profile_store(out, out_dtype):
+    """XLA-side profile-storage encoder (the Pallas twin lives in
+    ops/voigt_pallas._encode_store): f32 verbatim, int16 fixed-point
+    codes, int32 packed i16-pair codes (ops/kernel_config.py)."""
+    if out_dtype is None:
+        return out
+    from .kernel_config import ABS_I16_SCALE
+
+    dt = jnp.dtype(out_dtype)
+    if dt == jnp.int16:
+        out = jnp.round(out * ABS_I16_SCALE)
+    elif dt == jnp.int32:
+        v = jnp.round(out * ABS_I16_SCALE).astype(jnp.int32)
+        h = v.shape[-1] // 2
+        if v.shape[-1] % 2:
+            raise ValueError(
+                "packed i16-pair storage needs an even pixel count, "
+                f"got {v.shape[-1]}"
+            )
+        return v[..., :h] | (v[..., h:] << 16)
+    return out.astype(out_dtype)
 
 
 def voigt_absorption(

@@ -174,6 +174,32 @@ def voigt_absorption_pallas(
     return out[:S]
 
 
+def _out_width(n: int, out_dtype) -> int:
+    """Stored lane count of an n-pixel profile row: n/2 for packed
+    int32 i16-pair storage (n must be even), n otherwise."""
+    if out_dtype is not None and jnp.dtype(out_dtype) == jnp.int32:
+        if n % 2:
+            raise ValueError(
+                f"packed i16-pair storage needs an even pixel count, got {n}"
+            )
+        return n // 2
+    return n
+
+
+def _encode_store(acc, dtype):
+    """Encode a profile block for its storage dtype: f32 verbatim,
+    int16 as fixed-point codes round(a * ABS_I16_SCALE), int32 as
+    PACKED i16-pair codes (contiguous halves in one lane — see
+    ops/kernel_config.py)."""
+    if dtype == jnp.int16:
+        return jnp.round(acc * ABS_I16_SCALE).astype(dtype)
+    if dtype == jnp.int32:
+        v = jnp.round(acc * ABS_I16_SCALE).astype(jnp.int32)
+        h = v.shape[-1] // 2
+        return v[:, :h] | (v[:, h:] << 16)
+    return acc.astype(dtype)
+
+
 def _abs_tail_kernel(tau_ref, nhi_ref, out_ref, *, taps, width):
     """exp(-nhi * tau) followed by the valid-mode 7-tap instrumental
     convolution, entirely in VMEM."""
@@ -183,11 +209,7 @@ def _abs_tail_kernel(tau_ref, nhi_ref, out_ref, *, taps, width):
     acc = taps[0] * raw[:, 0:n]
     for t in range(1, 2 * width + 1):
         acc = acc + taps[t] * raw[:, t : t + n]
-    if out_ref.dtype == jnp.int16:
-        # fixed-point storage round(a * 32767) (ops/kernel_config.py
-        # ABS_I16_SCALE): uniform 1.5e-5 absolute error, half the HBM
-        acc = jnp.round(acc * ABS_I16_SCALE)
-    out_ref[:] = acc.astype(out_ref.dtype)
+    out_ref[:] = _encode_store(acc, out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
@@ -225,6 +247,7 @@ def absorption_from_unit_tau_pallas(
             [nhi32, jnp.zeros((S_pad - S,), jnp.float32)], axis=0
         )
 
+    n_out = _out_width(P - 2 * width, out_dtype)
     out = pl.pallas_call(
         functools.partial(_abs_tail_kernel, taps=taps, width=width),
         grid=(n_blocks,),
@@ -233,10 +256,10 @@ def absorption_from_unit_tau_pallas(
             pl.BlockSpec((block_s, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (block_s, P - 2 * width), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (block_s, n_out), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (S_pad, P - 2 * width), out_dtype or jnp.float32
+            (S_pad, n_out), out_dtype or jnp.float32
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
@@ -276,9 +299,7 @@ def _abs_windowed_kernel(
     acc = taps[0] * raw[:, 0:n]
     for t in range(1, 2 * width + 1):
         acc = acc + taps[t] * raw[:, t : t + n]
-    if out_ref.dtype == jnp.int16:
-        acc = jnp.round(acc * ABS_I16_SCALE)  # fixed-point storage
-    out_ref[:] = acc.astype(out_ref.dtype)
+    out_ref[:] = _encode_store(acc, out_ref.dtype)
 
 
 def absorption_windowed_pallas(
@@ -337,10 +358,13 @@ def _absorption_windowed_pallas(
             pl.BlockSpec((block_s, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (block_s, P - 2 * width), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (block_s, _out_width(P - 2 * width, out_dtype)),
+            lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (S_pad, P - 2 * width), out_dtype or jnp.float32
+            (S_pad, _out_width(P - 2 * width, out_dtype)),
+            out_dtype or jnp.float32,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024

@@ -166,10 +166,11 @@ def test_pallas_chain_layouts_agree():
 
 
 def test_pallas_i16_profile_decode():
-    """int16 fixed-point absorption/stream storage (GPY_DLA_ABS_DTYPE,
-    models/evidence.py) must decode identically in the Pallas kernel
-    and the XLA composition, including the padding rows (full-scale
-    code = absorption 1.0) when S is not block-aligned."""
+    """int16 fixed-point and int32 packed-pair absorption/stream
+    storage (GPY_DLA_ABS_DTYPE, models/evidence.py) must decode
+    identically in the Pallas kernel and the XLA composition, including
+    the padding rows (full-scale code = absorption 1.0) when S is not
+    block-aligned."""
     import jax.numpy as jnp
 
     from gpy_dla_detection_tpu.ops.kernel_config import ABS_I16_SCALE
@@ -177,6 +178,7 @@ def test_pallas_i16_profile_decode():
     from gpy_dla_detection_tpu.ops.logmvn_pallas import (
         batched_log_mvnpdf_pallas,
     )
+    from gpy_dla_detection_tpu.ops.voigt import encode_profile_store
 
     rng = np.random.default_rng(3)
     N, k, S = 512, 4, 72  # pads to 80 rows in the kernel wrapper
@@ -186,30 +188,30 @@ def test_pallas_i16_profile_decode():
     omega2 = rng.uniform(0.01, 0.05, N).astype(np.float32)
     v = rng.uniform(0.02, 0.1, N).astype(np.float32)
     mask = rng.uniform(size=N) > 0.1
-    enc = lambda a: np.round(a * ABS_I16_SCALE).astype(np.int16)
     absorption = np.exp(-rng.random((S, N))).astype(np.float32)
     extra = np.exp(-rng.random((S, N))).astype(np.float32)
 
     args = [jnp.asarray(x) for x in (y, mu, M, omega2, v, mask)]
-    ref = np.asarray(
-        batched_log_mvnpdf(
-            *args,
-            jnp.asarray(enc(absorption)),
-            use_pallas=False,
-            extra=jnp.asarray(enc(extra)),
+    ref16 = None
+    for store in (jnp.int16, jnp.int32):
+        A = encode_profile_store(jnp.asarray(absorption), store)
+        E = encode_profile_store(jnp.asarray(extra), store)
+        ref = np.asarray(
+            batched_log_mvnpdf(*args, A, use_pallas=False, extra=E)
         )
-    )
-    got = np.asarray(
-        batched_log_mvnpdf_pallas(
-            *args,
-            jnp.asarray(enc(absorption)),
-            pair_basis(args[2]),
-            k,
-            interpret=True,
-            extra=(jnp.asarray(enc(extra)),),
+        got = np.asarray(
+            batched_log_mvnpdf_pallas(
+                *args, A, pair_basis(args[2]), k, interpret=True, extra=(E,)
+            )
         )
-    )
-    np.testing.assert_allclose(got, ref, atol=5e-3 * np.mean(np.abs(ref)))
+        np.testing.assert_allclose(
+            got, ref, atol=5e-3 * np.mean(np.abs(ref)), err_msg=str(store)
+        )
+        if ref16 is None:
+            ref16 = ref
+        else:
+            # packed pairs hold exactly the plain i16 codes
+            np.testing.assert_array_equal(ref, ref16)
 
 
 def test_pallas_multi_extra_streams():

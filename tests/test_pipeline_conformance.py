@@ -226,7 +226,11 @@ def test_i16_profile_storage_accuracy(setup):
     ref = setup["ref_dla"]
     s = setup["dla_samples"]
     results = {}
-    for name, dt in (("f32", jnp.float32), ("i16", jnp.int16)):
+    for name, dt in (
+        ("f32", jnp.float32),
+        ("i16", jnp.int16),
+        ("i16p", jnp.int32),  # packed pairs: exactly the i16 codes
+    ):
         results[name] = qmc_log_evidences(
             setup["model"],
             s.offset_samples,
@@ -239,19 +243,28 @@ def test_i16_profile_storage_accuracy(setup):
             base_inds_override=ref.base_sample_inds,
         )
     ev32 = np.asarray(results["f32"].log_evidences)
-    ev16 = np.asarray(results["i16"].log_evidences)
-    assert np.all(np.abs(ev32 - ev16) < 0.02), ev32 - ev16
     l32 = np.asarray(results["f32"].sample_log_likelihoods)
-    l16 = np.asarray(results["i16"].sample_log_likelihoods)
-    m = np.isfinite(l32)
-    assert np.array_equal(m, np.isfinite(l16))
-    d = np.abs(l16[m] - l32[m])
-    assert np.sqrt(np.mean(d**2)) < 0.02, np.sqrt(np.mean(d**2))
-    # the MAP sample must not move under the quantization
+    for name in ("i16", "i16p"):
+        ev16 = np.asarray(results[name].log_evidences)
+        assert np.all(np.abs(ev32 - ev16) < 0.02), (name, ev32 - ev16)
+        l16 = np.asarray(results[name].sample_log_likelihoods)
+        m = np.isfinite(l32)
+        assert np.array_equal(m, np.isfinite(l16))
+        d = np.abs(l16[m] - l32[m])
+        assert np.sqrt(np.mean(d**2)) < 0.02, (name, np.sqrt(np.mean(d**2)))
+        # the MAP sample must not move under the quantization
+        np.testing.assert_allclose(
+            np.asarray(results["f32"].map_z_dlas),
+            np.asarray(results[name].map_z_dlas),
+            rtol=0, atol=1e-6, equal_nan=True,
+        )
+    # packed pairs hold exactly the i16 codes; the decoded profiles are
+    # equal, so the two quantized modes track each other tightly (not
+    # bit-for-bit: XLA fuses the two decode graphs differently)
     np.testing.assert_allclose(
-        np.asarray(results["f32"].map_z_dlas),
-        np.asarray(results["i16"].map_z_dlas),
-        rtol=0, atol=1e-6, equal_nan=True,
+        np.asarray(results["i16"].log_evidences),
+        np.asarray(results["i16p"].log_evidences),
+        rtol=0, atol=1e-3,
     )
 
 
