@@ -203,6 +203,12 @@ def qmc_log_evidences(
     store = abs_dtype if abs_dtype != dtype else None
 
     z_samples = model.min_z_dla + (model.max_z_dla - model.min_z_dla) * offset_samples
+    # chained levels gather the parent's (z, logNHI) pair as ONE 2-lane
+    # row gather: XLA's 1-D TPU gather lowers to a serialized S(1)
+    # layout (measured 2.13 ms per (320k,) take vs 0.65 ms for a
+    # (320k, 2) row gather — narrow row gathers are row-rate bound, so
+    # both values ride one gather for less than half of either 1-D one)
+    zn_table = jnp.stack([z_samples, log_nhi_samples], axis=1)  # (S, 2)
 
     # single-absorber profiles for every sample, computed once: (S, N)
     if unit_tau is not None and profile == "dla":
@@ -299,8 +305,9 @@ def qmc_log_evidences(
                     extra_factors.append(g)
                 else:
                     extra_factors[-1] = extra_factors[-1] * g
-            z_rows.append(jnp.take(z_samples, base, mode="clip"))
-            lognhi_rows.append(jnp.take(log_nhi_samples, base, mode="clip"))
+            zn = jnp.take(zn_table, base, axis=0, mode="clip")  # (S, 2)
+            z_rows.append(zn[:, 0])
+            lognhi_rows.append(zn[:, 1])
 
         ll = (
             batched_log_mvnpdf(
