@@ -74,6 +74,17 @@ _CHAIN_R2: bool = os.environ.get("GPY_DLA_CHAIN_R2", "1") == "1"
 # layout (rank-2 flat chain).
 _PACKED: bool = os.environ.get("GPY_DLA_PACKED", "1") == "1"
 
+# rank-2 packed chain selection-dot strategy: "combined" (default)
+# fuses each iteration's four HIGHEST-precision selection dots into one
+# block-diagonal 0/1 selector at 3 exact bf16-split passes
+# (_make_chain_kernel_tp2c); "separate" restores the four-dot kernel.
+_CHAIN_DOT: str = os.environ.get("GPY_DLA_CHAIN_DOT", "combined")
+if _CHAIN_DOT not in ("combined", "separate"):
+    raise ValueError(
+        f"GPY_DLA_CHAIN_DOT must be 'combined' or 'separate', "
+        f"got {_CHAIN_DOT!r}"
+    )
+
 # sample-block size: multiple of the f32 sublane tile (8).  Keep the
 # per-block live set (absorption block + ~6 elementwise temporaries +
 # the (N, k^2) pair basis) under Mosaic's 64 MB scoped-vmem budget —
@@ -579,6 +590,101 @@ def _make_chain_kernel_tp2(k: int):
     return _kernel
 
 
+def _split3_bf16(x):
+    """Exact 3-plane bf16 decomposition of an f32 array: hi = bf16(x),
+    mid = bf16(x - hi), lo = x - hi - mid.  3 x 8 mantissa bits cover
+    f32's 24, so summing the three planes (in f32) reconstructs x to
+    the last bit for normal values — a 0/1 selection matrix (exact in
+    bf16) times the planes therefore equals the HIGHEST-precision dot
+    at half the MXU passes (3 DEFAULT vs 6)."""
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _make_chain_kernel_tp2c(k: int):
+    """Combined-dot rank-2 packed transposed stage-B kernel: the exact
+    arithmetic of :func:`_make_chain_kernel_tp2`, but each iteration's
+    FOUR selection dots (rep/tile for columns j and j+1, each a 6-pass
+    HIGHEST issue) collapse into ONE block-diagonal 0/1 selector
+    multiplied against the stacked [col_j; col_j1] at 3 exact
+    bf16-split passes — 40 x 6 MXU issues per block become 10 x 3.  The
+    selector's left half picks col_j entries (lanes 0..seg-1), the
+    right half col_j1 entries (lanes seg..2seg-2); output row blocks
+    are rep_j / tile_j / rep_j1 / tile_j1."""
+    assert k % 2 == 0
+    P = k * (k + 1) // 2
+
+    def _kernel(B_ref, u_ref, misc_ref, colidx_ref, rowidx_ref, ll_ref):
+        colv = colidx_ref[:]  # (P, 1) i32
+        rowv = rowidx_ref[:]
+        T = B_ref[:].T + (rowv == colv).astype(jnp.float32)  # (P, bs)
+        u = u_ref[:].T  # (k, bs)
+        misc = misc_ref[:].T
+        quad0 = misc[0:1, :]
+        logdet0 = misc[1:2, :]
+        quad = jnp.zeros_like(quad0)
+        logdet = jnp.zeros_like(logdet0)
+        for j in range(0, k, 2):
+            seg = k - j  # column j's packed segment length
+            dj = T[0:1, :]
+            inv_j = jax.lax.rsqrt(dj)
+            col_j = T[0:seg, :] * inv_j  # rows a = j..k-1
+            tj = u[0:1, :] * inv_j
+            u = u[1:, :] - tj * col_j[1:, :]
+            # column j+1's segment, pre-updated with col_j's rank-1 term
+            bcol = T[seg : 2 * seg - 1, :] - col_j[1:2, :] * col_j[1:, :]
+            dj1 = bcol[0:1, :]
+            inv_j1 = jax.lax.rsqrt(dj1)
+            col_j1 = bcol * inv_j1  # rows a = j+1..k-1
+            tj1 = u[0:1, :] * inv_j1
+            if j + 2 < k:  # final pair consumes u entirely
+                u = u[1:, :] - tj1 * col_j1[1:, :]
+            quad = quad + tj * tj + tj1 * tj1
+            logdet = logdet + jnp.log(dj) + jnp.log(dj1)
+            done = 2 * seg - 1  # packed rows consumed by columns j, j+1
+            rem_p = P - (j * k - j * (j - 1) // 2) - done
+            if rem_p:
+                colv = colv[done:, :]
+                rowv = rowv[done:, :]
+                w = 2 * seg - 1  # lanes: col_j entries then col_j1's
+                c_i = jax.lax.broadcasted_iota(jnp.int32, (rem_p, w), 1)
+                # cast each block before the concat — Mosaic rejects a
+                # sublane concat of i1 vectors followed by one cast
+                # ("Invalid vector register cast")
+                R = jnp.concatenate(
+                    [
+                        (colv - j == c_i).astype(jnp.bfloat16),  # rep_j
+                        (rowv - j == c_i).astype(jnp.bfloat16),  # tile_j
+                        (colv + (seg - j - 1) == c_i).astype(
+                            jnp.bfloat16
+                        ),  # rep_j1 (col_j1 lanes sit +seg to the right)
+                        (rowv + (seg - j - 1) == c_i).astype(
+                            jnp.bfloat16
+                        ),  # tile_j1
+                    ],
+                    axis=0,
+                )  # (4 rem_p, w)
+                X = jnp.concatenate([col_j, col_j1], axis=0)  # (w, bs)
+                xh, xm, xl = _split3_bf16(X)
+                out = (
+                    jnp.dot(R, xh, preferred_element_type=jnp.float32)
+                    + jnp.dot(R, xm, preferred_element_type=jnp.float32)
+                    + jnp.dot(R, xl, preferred_element_type=jnp.float32)
+                )  # (4 rem_p, bs)
+                rep_j = out[0:rem_p, :]
+                tile_j = out[rem_p : 2 * rem_p, :]
+                rep_j1 = out[2 * rem_p : 3 * rem_p, :]
+                tile_j1 = out[3 * rem_p :, :]
+                T = T[done:, :] - rep_j * tile_j - rep_j1 * tile_j1
+        ll = -0.5 * (quad0 - quad + logdet0 + logdet)
+        ll_ref[:] = ll.T
+
+    return _kernel
+
+
 def _make_kernel(k: int, n_extra: int):
     """The single fused kernel (GPY_DLA_SPLIT_CHAIN=0 rollback path):
     :func:`_assemble` followed by the row-layout factorization chain in
@@ -646,12 +752,15 @@ def _make_kernel(k: int, n_extra: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "interpret", "chain_t", "chain_r2", "packed"),
+    static_argnames=(
+        "k", "interpret", "chain_t", "chain_r2", "packed", "chain_dot"
+    ),
 )
 def batched_log_mvnpdf_pallas(
     y, mu, M, omega2, v, mask, absorption, M_pair, k: int,
     interpret: bool = False, extra=None, chain_t: bool | None = None,
     chain_r2: bool | None = None, packed: bool | None = None,
+    chain_dot: str | None = None,
 ):
     """Fused TPU evaluation of the batched masked Woodbury log-density.
 
@@ -788,7 +897,13 @@ def batched_log_mvnpdf_pallas(
         ]
         if packed:
             if chain_r2 and k % 2 == 0:
-                chain_kernel = _make_chain_kernel_tp2(k)
+                dot_mode = _CHAIN_DOT if chain_dot is None else chain_dot
+                maker = (
+                    _make_chain_kernel_tp2c
+                    if dot_mode == "combined"
+                    else _make_chain_kernel_tp2
+                )
+                chain_kernel = maker(k)
             else:
                 chain_kernel = _make_chain_kernel_tp(k)
             colidx = jnp.asarray(cols_l, jnp.int32)[:, None]  # (P, 1)

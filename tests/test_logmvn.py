@@ -145,23 +145,26 @@ def test_pallas_chain_layouts_agree():
             *args, A, use_pallas=False, extra=jnp.asarray(extra)
         )
     )
-    for chain_t, chain_r2, packed in (
-        (False, False, False),
-        (True, False, False),
-        (True, True, False),
-        (True, False, True),  # packed-triangular capacitance + chain
-        (True, True, True),  # packed rank-2 chain (even k)
+    for chain_t, chain_r2, packed, chain_dot in (
+        (False, False, False, None),
+        (True, False, False, None),
+        (True, True, False, None),
+        (True, False, True, None),  # packed-triangular capacitance + chain
+        (True, True, True, "separate"),  # packed rank-2, four-dot kernel
+        (True, True, True, "combined"),  # packed rank-2, one combined
+        # block-diagonal selection dot at 3 exact bf16-split passes
     ):
         got = np.asarray(
             batched_log_mvnpdf_pallas(
                 *args, A, pair_basis(args[2]), k,
                 interpret=True, extra=jnp.asarray(extra), chain_t=chain_t,
-                chain_r2=chain_r2, packed=packed,
+                chain_r2=chain_r2, packed=packed, chain_dot=chain_dot,
             )
         )
         np.testing.assert_allclose(
             got, ref, atol=5e-3 * np.mean(np.abs(ref)),
-            err_msg=f"chain_t={chain_t} chain_r2={chain_r2} packed={packed}",
+            err_msg=f"chain_t={chain_t} chain_r2={chain_r2} "
+                    f"packed={packed} chain_dot={chain_dot}",
         )
 
 
