@@ -158,6 +158,48 @@ def test_windowed_fast_path_matches_exact():
     assert np.median(err) < 1e-6
 
 
+def test_windowed_center_estimate_irregular_grid():
+    """The f32 windowed path locates each line-center window by a
+    chunk-level count plus a LINEAR within-chunk estimate (no
+    searchsorted, no gather — ops/voigt.py).  On the log-uniform SDSS
+    grid the estimate is exact to ~0.01 px; this pins the robustness
+    margin on a STRESSED grid whose per-pixel log-spacing is jittered
+    by ±30% (far rougher than any masked/cut SDSS grid): the window
+    must still cover every core, i.e. windowed == exact-f32 to the
+    usual tolerance, including at the sampler's logNHI ceiling."""
+    import jax.numpy as jnp
+
+    from gpy_dla_detection_tpu.constants import THERMAL_SIGMA_CGS
+    from gpy_dla_detection_tpu.ops.voigt import (
+        _unit_lyman_series_optical_depth,
+        _unit_lyman_series_optical_depth_windowed,
+    )
+
+    rng = np.random.default_rng(5)
+    dlog = 1e-4 * rng.uniform(0.7, 1.3, size=1200)
+    wl = (3600.0 * 10 ** np.concatenate([[0.0], np.cumsum(dlog[:-1])])).astype(
+        np.float32
+    )
+    z = rng.uniform(2.0, 2.9, size=48).astype(np.float32)
+    nhi = (10.0 ** rng.uniform(20.0, 23.0, size=48)).astype(np.float32)
+
+    tau_fast = nhi[:, None] * np.asarray(
+        _unit_lyman_series_optical_depth_windowed(
+            jnp.asarray(wl), jnp.asarray(z), 3, THERMAL_SIGMA_CGS
+        )
+    )
+    tau_f32 = nhi[:, None] * np.asarray(
+        _unit_lyman_series_optical_depth(
+            jnp.asarray(wl), jnp.asarray(z), 3, THERMAL_SIGMA_CGS
+        )
+    )
+    err = np.abs(
+        np.exp(-tau_fast.astype(np.float64))
+        - np.exp(-tau_f32.astype(np.float64))
+    )
+    assert err.max() < 5e-5, err.max()
+
+
 def test_windowed_far_field_truncation_all_lines():
     """With the full 31-line series at the sampler's logNHI ceiling,
     the windowed path's far-field reductions (direct Lorentzian rational
