@@ -37,6 +37,17 @@ else:
     DEFAULT_VOIGT_IMPL = "exact"
 
 
+# Two-tier window evaluation (ops/voigt._windowed_tau_parts, f32 fast
+# path): the 20-term Weideman Horner + full-K CF run only on a 96-px
+# strip around each line center (the |z| <= RADIUS core spans ~±1.3 px
+# and the K=2 CF is exact to <2e-8 beyond the strip edge at |z| >~ 59);
+# the rest of the 256-px window uses the 2-term CF.  ~2x fewer VPU
+# flops in the window stage, which the stage-level timing shows is
+# compute-bound (PERFORMANCE.md round 3).  GPY_DLA_WINDOW_TIER=0
+# restores the full-window Weideman+CF blend.
+WINDOW_TIER: bool = os.environ.get("GPY_DLA_WINDOW_TIER", "1") == "1"
+
+
 def largest_aligned_divisor(s: int, budget: int, align: int = 8):
     """Largest multiple of ``align`` <= ``budget`` that divides ``s``,
     or None when no such divisor exists (callers then pad to their

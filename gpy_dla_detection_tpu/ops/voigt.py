@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from .. import constants as C
 from .faddeeva import RADIUS, _wofz_cf, _wofz_weideman, wofz_parts
 from .interp import chunked_searchsorted
-from .kernel_config import resolve_voigt_impl
+from .kernel_config import WINDOW_TIER, resolve_voigt_impl
 
 SQRT_2PI = 2.5066282746310002
 
@@ -228,16 +228,81 @@ def _windowed_tau_parts(wavelengths, z_absorber, num_lines, sigma):
         x_win = (wl_win - lam_c) * (c_over / lam_c) * inv
         ax = jnp.abs(x_win)
         r2 = ax * ax + y_l * y_l
-        inner = r2 <= RADIUS * RADIUS
-        annulus = (~inner) & (r2 <= CF_FAR_RADIUS * CF_FAR_RADIUS)
-        wei_win, _ = _wofz_weideman(
-            jnp.where(inner, ax, 0.0), jnp.full_like(x_win, y_l)
-        )
-        cf_win, _ = _wofz_cf(ax, jnp.full_like(x_win, y_l))  # full K
-        corrs.append(
-            amp
-            * (jnp.where(inner, wei_win, 0.0) + jnp.where(annulus, cf_win, 0.0))
-        )  # (S, W)
+        if f32fast and WINDOW_TIER:
+            # Two-tier evaluation: the expensive pieces (20-term
+            # Weideman Horner for |z| <= RADIUS, full-K CF for the
+            # near annulus) run only on a 96-px strip of three
+            # 32-px blocks around the line-center estimate; the rest
+            # of the window uses the 2-term CF (truncation error
+            # ~1.6e-7 relative at |z| = 20 and falling as |z|^-4 —
+            # the strip guarantees ±32 px of coverage around the
+            # estimate, so tier-2 pixels sit beyond |z| ~ 59 even
+            # with the ±15 px placement tolerance and 30% grid
+            # jitter).  The stage-level timing shows the window pass
+            # is VPU-compute-bound, so halving its flops is the win
+            # (PERFORMANCE.md round 3).
+            SB = 32
+            nb = FAST_WINDOW // SB  # 8 blocks per window
+            blocks = ax.reshape(S, nb, SB)
+            lc_local = center - c0 * CH  # estimated center within window
+            b_strip = jnp.clip(lc_local // SB - 1, 0, nb - 3)  # (S,)
+            jb = jnp.arange(nb, dtype=jnp.int32)
+            # extract the 3-block strip (exact: 0/1 masked sums with
+            # exactly one nonzero term per output)
+            sels = [
+                (jb[None, :] == (b_strip + off)[:, None]) for off in range(3)
+            ]
+            ax_strip = jnp.concatenate(
+                [
+                    jnp.sum(jnp.where(s[:, :, None], blocks, 0.0), axis=1)
+                    for s in sels
+                ],
+                axis=1,
+            )  # (S, 3 SB)
+            y_strip = jnp.full_like(ax_strip, y_l)
+            r2_s = ax_strip * ax_strip + y_l * y_l
+            inner_s = r2_s <= RADIUS * RADIUS
+            ann_s = (~inner_s) & (r2_s <= CF_FAR_RADIUS * CF_FAR_RADIUS)
+            wei_s, _ = _wofz_weideman(
+                jnp.where(inner_s, ax_strip, 0.0), y_strip
+            )
+            cf_s, _ = _wofz_cf(ax_strip, y_strip)  # full K
+            strip_val = jnp.where(inner_s, wei_s, 0.0) + jnp.where(
+                ann_s, cf_s, 0.0
+            )  # (S, 3 SB)
+            # 2-term CF over the whole window; masked off inside the
+            # strip (the strip supplies those pixels exactly)
+            cf2, _ = _wofz_cf(ax, jnp.full_like(x_win, y_l), terms=2)
+            sv = strip_val.reshape(S, 3, SB)
+            placed = jnp.zeros_like(blocks)
+            in_strip = jnp.zeros((S, nb), dtype=bool)
+            for off, s in enumerate(sels):
+                placed = placed + jnp.where(
+                    s[:, :, None], sv[:, off][:, None, :], 0.0
+                )
+                in_strip = in_strip | s
+            mid = (~in_strip[:, :, None]) & (
+                r2.reshape(S, nb, SB) <= CF_FAR_RADIUS * CF_FAR_RADIUS
+            )
+            cf2_blocks = cf2.reshape(S, nb, SB)
+            corr_l = (
+                placed + jnp.where(mid, cf2_blocks, 0.0)
+            ).reshape(S, FAST_WINDOW)
+            corrs.append(amp * corr_l)
+        else:
+            inner = r2 <= RADIUS * RADIUS
+            annulus = (~inner) & (r2 <= CF_FAR_RADIUS * CF_FAR_RADIUS)
+            wei_win, _ = _wofz_weideman(
+                jnp.where(inner, ax, 0.0), jnp.full_like(x_win, y_l)
+            )
+            cf_win, _ = _wofz_cf(ax, jnp.full_like(x_win, y_l))  # full K
+            corrs.append(
+                amp
+                * (
+                    jnp.where(inner, wei_win, 0.0)
+                    + jnp.where(annulus, cf_win, 0.0)
+                )
+            )  # (S, W)
         c0s.append(c0.astype(jnp.int32))
 
     return WindowedTauParts(
