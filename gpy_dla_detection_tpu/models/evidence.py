@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.interp import chunked_searchsorted
-from ..ops.kernel_config import ABS_I16_SCALE, resolve_use_pallas
+from ..ops.kernel_config import ABS_I16_SCALE, on_tpu, resolve_use_pallas
 from ..ops.logmvn import (
     batched_log_mvnpdf,
     likelihood_pair_basis,
@@ -198,6 +198,22 @@ def qmc_log_evidences(
         # the compact default applies to the f32 production pipeline
         # only — f64 runs are the high-precision conformance path
         abs_dtype = _ABS_DTYPE if dtype == jnp.float32 else dtype
+        if abs_dtype != dtype and not on_tpu(model.y):
+            # Compact storage is TPU-only by default: on XLA:CPU the
+            # fusion emitter MISCOMPILES the profile chain when the
+            # packed-storage graph makes layout assignment give the
+            # (spectra, samples, pixels) intermediates a transposed
+            # {2,0,1} layout — sharded-vs-unsharded log-likelihood
+            # deltas of O(100) on an 8-device host mesh, fixed by
+            # --xla_disable_hlo_passes=fusion or by forcing the profile
+            # buffer to the default layout, NOT fixed by optimization
+            # barriers (the corrupt values arise inside the producer
+            # fusion).  Minimal repro + bisect: scripts/
+            # xla_cpu_layout_repro.py.  On TPU the encode/decode live
+            # inside the Mosaic kernels (ops/voigt_pallas.py,
+            # ops/logmvn_pallas.py), a different code generator, where
+            # parity is pinned by tests/test_pipeline_conformance.py.
+            abs_dtype = dtype
     if jnp.dtype(abs_dtype) == jnp.int32 and model.y.shape[0] % 2:
         abs_dtype = jnp.int16  # packed pairs need an even pixel count
     store = abs_dtype if abs_dtype != dtype else None

@@ -45,14 +45,21 @@ def compute_evidences(
     key: jax.Array,
     params: Parameters,
     max_dlas: int,
+    base_inds_override: jnp.ndarray | None = None,
 ) -> EvidenceOutputs:
-    """All model evidences for one spectrum (jitted, fixed shapes)."""
+    """All model evidences for one spectrum (jitted, fixed shapes).
+
+    :param base_inds_override: optional (max_dlas - 1, S) resampling
+        indices replacing the categorical draws of the DLA chain (used
+        to reproduce a reference run bit-for-bit in conformance tests).
+    """
     model = build_spectrum_model(learned, spec, params)
     k_dla, k_sub = jax.random.split(key)
     return EvidenceOutputs(
         log_evidence_null=null_log_evidence(model),
         dla=qmc_log_evidences(
-            model, dla_offsets, dla_log_nhi, dla_nhi, k_dla, max_dlas, params
+            model, dla_offsets, dla_log_nhi, dla_nhi, k_dla, max_dlas, params,
+            base_inds_override=base_inds_override,
         ),
         subdla=qmc_log_evidences(
             model, sub_offsets, sub_log_nhi, sub_nhi, k_sub, 1, params
@@ -88,6 +95,7 @@ def process_spectrum(
     params: Parameters,
     key: jax.Array,
     max_dlas: int = 4,
+    base_inds_override: np.ndarray | None = None,
 ) -> SpectrumResult:
     """Full Bayesian model selection for one preprocessed spectrum."""
     out = compute_evidences(
@@ -102,6 +110,11 @@ def process_spectrum(
         key,
         params,
         max_dlas,
+        base_inds_override=(
+            None
+            if base_inds_override is None
+            else jnp.asarray(base_inds_override, jnp.int32)
+        ),
     )
 
     num_dlas, num_quasars = prior.less_ind(float(spec.z_qso))

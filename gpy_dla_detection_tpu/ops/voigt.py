@@ -135,7 +135,25 @@ def _windowed_tau_parts(wavelengths, z_absorber, num_lines, sigma):
 
     nc = -(-P // CH)
     P_pad = nc * CH
-    wl_pad = jnp.pad(wavelengths, (0, P_pad - P), mode="edge")
+    if P_pad > P:
+        # continue the grid's local spacing instead of edge-repeating:
+        # the f32 fast path estimates each line-center pixel by a
+        # LINEAR within-chunk map from the chunk endpoints, and an
+        # edge-padded partial last chunk compresses its wavelength span
+        # (48 real pixels mapped onto 128 slots put the estimate 43 px
+        # off in the tier stress test — beyond the strip's ±32-px
+        # coverage, so the Weideman core went missing).  Padded
+        # positions' far field and corrections land beyond P and are
+        # sliced off by the placement (_place_windows / the Pallas
+        # placement kernel), so only the estimate geometry matters.
+        step = wavelengths[-1] - wavelengths[-2]
+        step = jnp.where(step > 0, step, jnp.ones_like(step))
+        ext = wavelengths[-1] + step * jnp.arange(
+            1, P_pad - P + 1, dtype=dtype
+        )
+        wl_pad = jnp.concatenate([wavelengths, ext])
+    else:
+        wl_pad = wavelengths
     wl_chunks = wl_pad.reshape(nc, CH)
 
     # f32 fast path for the window lookups: the (S, 128) chunk-row
@@ -281,8 +299,21 @@ def _windowed_tau_parts(wavelengths, z_absorber, num_lines, sigma):
                     s[:, :, None], sv[:, off][:, None, :], 0.0
                 )
                 in_strip = in_strip | s
-            mid = (~in_strip[:, :, None]) & (
-                r2.reshape(S, nb, SB) <= CF_FAR_RADIUS * CF_FAR_RADIUS
+            # exclude the |z| <= RADIUS Weideman disk as well: when the
+            # placement is correct the strip covers the disk and this
+            # clause never fires (zero cost), but if the line-center
+            # estimate ever errs beyond the strip guarantee (e.g. a
+            # masked gap breaking the within-chunk linear estimate),
+            # in-disk pixels would otherwise receive in-disk 2-term-CF
+            # values — garbage-but-finite, possibly NEGATIVE tau and
+            # absorption > 1.  With the disk excluded, gross
+            # misplacement degrades like the non-tier baseline (a
+            # missing correction) instead of injecting garbage.
+            r2_blocks = r2.reshape(S, nb, SB)
+            mid = (
+                (~in_strip[:, :, None])
+                & (r2_blocks <= CF_FAR_RADIUS * CF_FAR_RADIUS)
+                & (r2_blocks > RADIUS * RADIUS)
             )
             cf2_blocks = cf2.reshape(S, nb, SB)
             corr_l = (

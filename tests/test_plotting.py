@@ -3,8 +3,19 @@
 import numpy as np
 import jax
 import matplotlib
+import pytest
 
 matplotlib.use("Agg")
+
+
+@pytest.fixture(autouse=True)
+def _close_figures():
+    """Close every figure a test opened (the smoke tests render 20+
+    figures; matplotlib warns and holds their memory otherwise)."""
+    yield
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
 
 
 def test_all_plots_render(tmp_path):

@@ -110,9 +110,18 @@ def test_voigt_preserves_float32():
     assert out.dtype == np.float32
 
 
-def test_windowed_fast_path_matches_exact():
+@pytest.mark.parametrize("tier", [True, False])
+def test_windowed_fast_path_matches_exact(tier, monkeypatch):
     """The CF+windowed-Weideman fast path must match the exact path to
-    ~1e-4 on the absorption profile (f32 cancellation at the cores)."""
+    ~1e-4 on the absorption profile (f32 cancellation at the cores).
+
+    Parametrized over the two-tier window flag (GPY_DLA_WINDOW_TIER,
+    bound at import in ops/voigt.py): tier=True is the production
+    default, tier=False the documented escape hatch — both must agree
+    with the exact path, so neither can rot (ADVICE r3)."""
+    import gpy_dla_detection_tpu.ops.voigt as voigt_mod
+
+    monkeypatch.setattr(voigt_mod, "WINDOW_TIER", tier)
     import jax.numpy as jnp
 
     from gpy_dla_detection_tpu.ops.voigt import (
@@ -158,7 +167,8 @@ def test_windowed_fast_path_matches_exact():
     assert np.median(err) < 1e-6
 
 
-def test_windowed_center_estimate_irregular_grid():
+@pytest.mark.parametrize("tier", [True, False])
+def test_windowed_center_estimate_irregular_grid(tier, monkeypatch):
     """The f32 windowed path locates each line-center window by a
     chunk-level count plus a LINEAR within-chunk estimate (no
     searchsorted, no gather — ops/voigt.py).  On the log-uniform SDSS
@@ -166,7 +176,11 @@ def test_windowed_center_estimate_irregular_grid():
     margin on a STRESSED grid whose per-pixel log-spacing is jittered
     by ±30% (far rougher than any masked/cut SDSS grid): the window
     must still cover every core, i.e. windowed == exact-f32 to the
-    usual tolerance, including at the sampler's logNHI ceiling."""
+    usual tolerance, including at the sampler's logNHI ceiling.
+    Parametrized over the two-tier window flag (ADVICE r3)."""
+    import gpy_dla_detection_tpu.ops.voigt as voigt_mod
+
+    monkeypatch.setattr(voigt_mod, "WINDOW_TIER", tier)
     import jax.numpy as jnp
 
     from gpy_dla_detection_tpu.constants import THERMAL_SIGMA_CGS
