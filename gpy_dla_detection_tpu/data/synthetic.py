@@ -84,10 +84,15 @@ def synthetic_observation(
     noise_level: float = 0.1,
     dlas: list[tuple[float, float]] | None = None,
     masked_fraction: float = 0.01,
+    with_lls_break: bool = False,
 ):
     """Draw one observed spectrum from the learned GP's generative model.
 
     :param dlas: optional [(z_dla, log_nhi), ...] absorbers to inject.
+    :param with_lls_break: add each injected absorber's Lyman-limit
+        break opacity (reference: voigt_lls.py:254-284) so the
+        LLS-finder accuracy gates can inject the 17.2 < logNHI < 20
+        regime its search targets.
     :return: (wavelengths, flux, noise_variance, pixel_mask) in the
         convention of the reference's ``read_spec``
         (reference: read_spec.py:22-71).
@@ -157,6 +162,13 @@ def synthetic_observation(
                     np.sqrt(2.0 * np.pi) * THERMAL_SIGMA_CGS
                 )
                 tau_dla += 10.0**log_nhi * LYMAN_LEADING_CONSTANTS[l] * profile
+            if with_lls_break:
+                rest_abs = wavelengths / (1.0 + z_dla)
+                tau_dla += np.where(
+                    rest_abs > 911.7641,
+                    0.0,
+                    10.0**log_nhi / 10**17.2 * (rest_abs / 911.7641) ** 3,
+                )
             flux = flux * np.exp(-tau_dla)
 
     noise_sigma = noise_level * (0.8 + 0.4 * rng.uniform(size=wavelengths.shape))
@@ -216,12 +228,19 @@ def synthetic_z_learned_model(seed: int = 0, k: int = 5):
     )
 
 
-def synthetic_z_observation(z_true, seed: int = 0, noise: float = 0.08, k: int = 5):
+def synthetic_z_observation(
+    z_true, seed: int = 0, noise: float = 0.08, k: int = 5,
+    obs_seed: int | None = None,
+):
     """(ZLearnedModel, (wavelengths, flux, noise_variance, pixel_mask))
     observation drawn from the synthetic zQSO GP at a known redshift,
-    with out-of-window pixels at the model's blue/redward levels."""
+    with out-of-window pixels at the model's blue/redward levels.
+
+    :param obs_seed: seed of the observation noise draw alone (default
+        ``seed + 1000``); lets a survey-scale accuracy run draw many
+        observations from ONE learned model (fixed ``seed``)."""
     learned = synthetic_z_learned_model(seed=seed, k=k)
-    rng = np.random.default_rng(seed + 1000)
+    rng = np.random.default_rng(seed + 1000 if obs_seed is None else obs_seed)
     wl = 3600.0 * 10 ** (1e-4 * np.arange(4600))
     rest = wl / (1 + z_true)
     mu = np.interp(rest, learned.rest_wavelengths, learned.mu)

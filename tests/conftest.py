@@ -36,3 +36,8 @@ def pytest_configure(config):
         "realdata: published-catalog acceptance tests; need the .mat "
         "artifacts and SDSS spectra (see tests/test_realdata.py)",
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: survey-scale accuracy gates (minutes on the CPU suite; "
+        "scripts/accuracy_gates.py runs the full-scale version)",
+    )
