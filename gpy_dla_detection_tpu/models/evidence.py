@@ -104,6 +104,35 @@ _ABS_DTYPE = {"f32": jnp.float32, "i16": jnp.int16, "i16p": jnp.int32}[
 ]
 
 
+def resolve_abs_store(dtype, x, num_pixels: int):
+    """Storage dtype of the (S, N) profile arrays, or None for "keep
+    the pipeline dtype" — the _ABS_DTYPE policy shared by
+    :func:`qmc_log_evidences` and the batch layer's fused absorption
+    path (parallel/batch.py).
+
+    The compact default applies to the f32 production pipeline only —
+    f64 runs are the high-precision conformance path.  Off-TPU, compact
+    storage is disabled: on XLA:CPU the fusion emitter MISCOMPILES the
+    profile chain when the packed-storage graph makes layout assignment
+    give the (spectra, samples, pixels) intermediates a transposed
+    {2,0,1} layout — sharded-vs-unsharded log-likelihood deltas of
+    O(100) on an 8-device host mesh, fixed by
+    --xla_disable_hlo_passes=fusion or by forcing the profile buffer to
+    the default layout, NOT fixed by optimization barriers (the corrupt
+    values arise inside the producer fusion).  Minimal repro + bisect:
+    scripts/xla_cpu_layout_repro.py.  On TPU the encode/decode live
+    inside the Mosaic kernels (ops/voigt_pallas.py, ops/logmvn_pallas.py),
+    a different code generator, where parity is pinned by
+    tests/test_pipeline_conformance.py.
+    """
+    abs_dtype = _ABS_DTYPE if dtype == jnp.float32 else dtype
+    if abs_dtype != dtype and not on_tpu(x):
+        abs_dtype = dtype
+    if jnp.dtype(abs_dtype) == jnp.int32 and num_pixels % 2:
+        abs_dtype = jnp.int16  # packed pairs need an even pixel count
+    return abs_dtype if abs_dtype != dtype else None
+
+
 def _draw_base_indices(key, probs, resampler: str) -> jnp.ndarray:
     """S chained-parent indices ~ Categorical(probs / sum(probs)).
 
@@ -167,6 +196,7 @@ def qmc_log_evidences(
     voigt_impl: str | None = None,
     unit_tau: jnp.ndarray | None = None,
     abs_dtype=None,
+    A_override: jnp.ndarray | None = None,
 ) -> QMCEvidenceResult:
     """Marginalize the k-absorber models over the QMC sample set.
 
@@ -195,28 +225,11 @@ def qmc_log_evidences(
     log_S = jnp.log(jnp.asarray(S, dtype))
     min_sep = jnp.asarray(params.min_z_separation, dtype)
     if abs_dtype is None:
-        # the compact default applies to the f32 production pipeline
-        # only — f64 runs are the high-precision conformance path
-        abs_dtype = _ABS_DTYPE if dtype == jnp.float32 else dtype
-        if abs_dtype != dtype and not on_tpu(model.y):
-            # Compact storage is TPU-only by default: on XLA:CPU the
-            # fusion emitter MISCOMPILES the profile chain when the
-            # packed-storage graph makes layout assignment give the
-            # (spectra, samples, pixels) intermediates a transposed
-            # {2,0,1} layout — sharded-vs-unsharded log-likelihood
-            # deltas of O(100) on an 8-device host mesh, fixed by
-            # --xla_disable_hlo_passes=fusion or by forcing the profile
-            # buffer to the default layout, NOT fixed by optimization
-            # barriers (the corrupt values arise inside the producer
-            # fusion).  Minimal repro + bisect: scripts/
-            # xla_cpu_layout_repro.py.  On TPU the encode/decode live
-            # inside the Mosaic kernels (ops/voigt_pallas.py,
-            # ops/logmvn_pallas.py), a different code generator, where
-            # parity is pinned by tests/test_pipeline_conformance.py.
-            abs_dtype = dtype
-    if jnp.dtype(abs_dtype) == jnp.int32 and model.y.shape[0] % 2:
-        abs_dtype = jnp.int16  # packed pairs need an even pixel count
-    store = abs_dtype if abs_dtype != dtype else None
+        store = resolve_abs_store(dtype, model.y, model.y.shape[0])
+    else:
+        if jnp.dtype(abs_dtype) == jnp.int32 and model.y.shape[0] % 2:
+            abs_dtype = jnp.int16  # packed pairs need an even pixel count
+        store = abs_dtype if abs_dtype != dtype else None
 
     z_samples = model.min_z_dla + (model.max_z_dla - model.min_z_dla) * offset_samples
     # chained levels gather the parent's (z, logNHI) pair as ONE 2-lane
@@ -227,7 +240,12 @@ def qmc_log_evidences(
     zn_table = jnp.stack([z_samples, log_nhi_samples], axis=1)  # (S, 2)
 
     # single-absorber profiles for every sample, computed once: (S, N)
-    if unit_tau is not None and profile == "dla":
+    if A_override is not None:
+        # the batch layer computed the storage-encoded profiles in the
+        # fully fused absorption kernel (one kernel for both the DLA
+        # and subDLA families — ops/voigt_pallas.absorption_all_pallas)
+        A = A_override
+    elif unit_tau is not None and profile == "dla":
         A = absorption_from_unit_tau(unit_tau, nhi_samples, out_dtype=store)
     else:
         A = PROFILES[profile](

@@ -47,6 +47,15 @@ else:
 # restores the full-window Weideman+CF blend.
 WINDOW_TIER: bool = os.environ.get("GPY_DLA_WINDOW_TIER", "1") == "1"
 
+# Fully fused absorption kernel (ops/voigt_pallas.absorption_all_pallas,
+# TPU f32 windowed path only): the far field + window corrections +
+# placement + exp + broadening + storage encode for BOTH column-density
+# families run as ONE kernel — the XLA windowed-parts construction
+# the kernel replaces profiled at ~1.4 ms/spectrum of HBM-round-tripping
+# fusions (PERFORMANCE.md round 4).  GPY_DLA_FUSED_ABS=0 restores the
+# parts + placement-kernel composition.
+FUSED_ABS: bool = os.environ.get("GPY_DLA_FUSED_ABS", "1") == "1"
+
 
 def largest_aligned_divisor(s: int, budget: int, align: int = 8):
     """Largest multiple of ``align`` <= ``budget`` that divides ``s``,

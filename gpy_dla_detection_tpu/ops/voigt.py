@@ -120,6 +120,81 @@ class WindowedTauParts(NamedTuple):
         return cls(*children, num_pixels)
 
 
+def chunk_pad_wavelengths(wavelengths):
+    """Pad a (P,) wavelength grid to a multiple of CHUNK pixels,
+    continuing the grid's local spacing instead of edge-repeating:
+    the f32 fast path estimates each line-center pixel by a LINEAR
+    within-chunk map from the chunk endpoints, and an edge-padded
+    partial last chunk compresses its wavelength span (48 real pixels
+    mapped onto 128 slots put the estimate 43 px off in the tier
+    stress test — beyond the strip's ±32-px coverage, so the Weideman
+    core went missing).  Padded positions' far field and corrections
+    land beyond P and are sliced off by the placement
+    (_place_windows / the Pallas placement kernels), so only the
+    estimate geometry matters."""
+    dtype = wavelengths.dtype
+    P = wavelengths.shape[0]
+    nc = -(-P // CHUNK)
+    P_pad = nc * CHUNK
+    if P_pad > P:
+        step = wavelengths[-1] - wavelengths[-2]
+        step = jnp.where(step > 0, step, jnp.ones_like(step))
+        ext = wavelengths[-1] + step * jnp.arange(
+            1, P_pad - P + 1, dtype=dtype
+        )
+        return jnp.concatenate([wavelengths, ext])
+    return wavelengths
+
+
+def _line_center_estimates(wl_chunks, lam_c_all):
+    """(center pixel, window start chunk) per (sample, line) on a
+    chunk-padded grid, by the f32 fast estimate: a chunk-level count
+    plus a LINEAR within-chunk map from the chunk endpoints — ~0.01 px
+    curvature error on the log-uniform SDSS grid, within the window
+    placement's ~±15 px tolerance (irregular-grid stress test:
+    tests/test_voigt.py).
+
+    :param wl_chunks: (nc, CHUNK) padded wavelengths.
+    :param lam_c_all: (S, L) observed-frame line centers.
+    :return: (center (S, L) int32, c0 (S, L) int32).
+    """
+    nc = wl_chunks.shape[0]
+    CH = CHUNK
+    tops = wl_chunks[:, -1]  # (nc,)
+    firsts = wl_chunks[:, 0]
+    j_chunk = jnp.arange(nc, dtype=jnp.int32)
+    q = lam_c_all[..., None]  # (S, L, 1)
+    c_idx = jnp.clip(
+        jnp.sum(q >= tops, axis=-1).astype(jnp.int32), 0, nc - 1
+    )  # (S, L)
+    sel_c = c_idx[..., None] == j_chunk  # (S, L, nc)
+    first = jnp.sum(jnp.where(sel_c, firsts, 0.0), axis=-1)
+    last = jnp.sum(jnp.where(sel_c, tops, 0.0), axis=-1)
+    within = jnp.clip(
+        (lam_c_all - first) / jnp.maximum(last - first, 1e-30) * (CH - 1),
+        0.0,
+        CH - 1.0,
+    )
+    center = c_idx * CH + within.astype(jnp.int32)  # (S, L)
+    c0 = jnp.clip((center - CH // 2) // CH, 0, nc - 2)
+    return center, c0
+
+
+def window_chunk_starts(wavelengths, z_absorber, num_lines):
+    """Chunk-aligned window start per (sample, line) for the fused
+    absorption kernel (ops/voigt_pallas.absorption_all_pallas): pads
+    the grid and runs the fast line-center estimate.
+
+    :return: (wl_pad (P_pad,), c0 (S, num_lines) int32)."""
+    dtype = wavelengths.dtype
+    wl_pad = chunk_pad_wavelengths(wavelengths)
+    nc = wl_pad.shape[0] // CHUNK
+    lam = jnp.asarray(C.LYMAN_WAVELENGTHS_A[:num_lines], dtype)
+    lam_c_all = (1.0 + z_absorber)[:, None] * lam  # (S, L)
+    _, c0 = _line_center_estimates(wl_pad.reshape(nc, CHUNK), lam_c_all)
+    return wl_pad, c0
+
+
 def _windowed_tau_parts(wavelengths, z_absorber, num_lines, sigma):
     """Far field + window corrections of the windowed unit tau, without
     the placement (see :func:`_place_windows` /
@@ -135,25 +210,7 @@ def _windowed_tau_parts(wavelengths, z_absorber, num_lines, sigma):
 
     nc = -(-P // CH)
     P_pad = nc * CH
-    if P_pad > P:
-        # continue the grid's local spacing instead of edge-repeating:
-        # the f32 fast path estimates each line-center pixel by a
-        # LINEAR within-chunk map from the chunk endpoints, and an
-        # edge-padded partial last chunk compresses its wavelength span
-        # (48 real pixels mapped onto 128 slots put the estimate 43 px
-        # off in the tier stress test — beyond the strip's ±32-px
-        # coverage, so the Weideman core went missing).  Padded
-        # positions' far field and corrections land beyond P and are
-        # sliced off by the placement (_place_windows / the Pallas
-        # placement kernel), so only the estimate geometry matters.
-        step = wavelengths[-1] - wavelengths[-2]
-        step = jnp.where(step > 0, step, jnp.ones_like(step))
-        ext = wavelengths[-1] + step * jnp.arange(
-            1, P_pad - P + 1, dtype=dtype
-        )
-        wl_pad = jnp.concatenate([wavelengths, ext])
-    else:
-        wl_pad = wavelengths
+    wl_pad = chunk_pad_wavelengths(wavelengths)
     wl_chunks = wl_pad.reshape(nc, CH)
 
     # f32 fast path for the window lookups: the (S, 128) chunk-row

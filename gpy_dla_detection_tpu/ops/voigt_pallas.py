@@ -318,6 +318,212 @@ def absorption_windowed_pallas(
     )
 
 
+def _abs_all_kernel(
+    wl_ref,  # (1, P_pad) padded wavelengths
+    z_ref,  # (BS, 1) absorber redshifts
+    c0_ref,  # (BS, L) int32 window start chunk per line
+    *refs,  # F nhi inputs (BS, 1), then F outputs (BS, n_out)
+    taps,
+    width,
+    num_lines,
+    sigma,
+    P,
+):
+    """The ENTIRE windowed Voigt absorption in one kernel: far-field
+    rational + per-line window Weideman/CF corrections + placement +
+    exp + 7-tap instrumental convolution + storage encode, for every
+    column-density family sharing the redshift samples.
+
+    The XLA composition of the same math (ops/voigt._windowed_tau_parts
+    feeding _abs_windowed_kernel) materializes the (S, P_pad) far field
+    and the (S, L*256) window corrections in HBM and pays a fusion
+    round trip per window step — profiled at ~1.4 ms/spectrum of the
+    4.8 ms budget (PERFORMANCE.md round 4).  Here every intermediate
+    lives in VMEM/registers; the only HBM traffic is z/nhi/c0 in and
+    the encoded profiles out.
+
+    Window extraction is the placement trick run in reverse: with
+    window starts chunk-aligned, ``x_win = sum_j (c0 == j) *
+    x[:, 128j : 128j + 256]`` over the nc-1 candidate chunks is an
+    unrolled select+add over VMEM tiles (exactly one nonzero term per
+    row), dodging both the Mosaic per-row dynamic-slice loop (the
+    original kernel's serialization) and the XLA one-hot MXU fetch.
+    """
+    from .voigt import CF_FAR_RADIUS, FAR_FIELD_LINES
+
+    dtype = jnp.float32
+    F = len(refs) // 2
+    nhi_refs = refs[:F]
+    out_refs = refs[F:]
+    wl = wl_ref[:]  # (1, P_pad)
+    P_pad = wl.shape[1]
+    nc = P_pad // 128
+    BS = z_ref.shape[0]
+    inv = 1.0 / (jnp.sqrt(jnp.asarray(2.0, dtype)) * sigma)
+    c_cgs = jnp.asarray(C.SPEED_OF_LIGHT_CGS, dtype)
+    sqrt_pi = jnp.asarray(jnp.sqrt(jnp.pi), dtype)
+    one_plus_z = 1.0 + z_ref[:]  # (BS, 1)
+    chunk = jax.lax.broadcasted_iota(jnp.int32, (1, P_pad), 1) // 128
+
+    tau = jnp.zeros((BS, P_pad), dtype)
+    for l in range(num_lines):
+        lam_l = jnp.asarray(C.LYMAN_WAVELENGTHS_A[l], dtype)
+        lead_l = jnp.asarray(C.LYMAN_LEADING_CONSTANTS[l], dtype)
+        gam_l = jnp.asarray(C.LYMAN_LORENTZIAN_WIDTHS[l], dtype)
+        amp = lead_l * inv / sqrt_pi
+        y_l = gam_l * inv
+        lam_c = lam_l * one_plus_z  # (BS, 1)
+
+        x_all = (wl - lam_c) * (c_cgs / lam_c) * inv  # (BS, P_pad)
+        r2_all = x_all * x_all + y_l * y_l
+        if l < FAR_FIELD_LINES:
+            # far wings as the direct Lorentzian rational: relative
+            # error <= 1/(2|z|^2) ~ 7.6e-6 beyond CF_FAR_RADIUS
+            # (ops/voigt.py far-field comment)
+            far = r2_all > CF_FAR_RADIUS * CF_FAR_RADIUS
+            tau = tau + amp * jnp.where(far, y_l / (sqrt_pi * r2_all), 0.0)
+
+        # extract this line's 256-px window (one nonzero term per row)
+        c0 = c0_ref[:, l : l + 1]  # (BS, 1)
+        x_win = jnp.zeros((BS, WINDOW), dtype)
+        for j in range(nc - 1):
+            x_win = x_win + jnp.where(
+                c0 == j, x_all[:, 128 * j : 128 * j + WINDOW], 0.0
+            )
+        ax = jnp.abs(x_win)
+        r2 = ax * ax + y_l * y_l
+        y_win = jnp.full_like(x_win, y_l)
+        inner = r2 <= RADIUS * RADIUS
+        annulus = (~inner) & (r2 <= CF_FAR_RADIUS * CF_FAR_RADIUS)
+        wei, _ = _wofz_weideman(jnp.where(inner, ax, 0.0), y_win)
+        cf, _ = _wofz_cf(ax, y_win)  # full K
+        corr = amp * (
+            jnp.where(inner, wei, 0.0) + jnp.where(annulus, cf, 0.0)
+        )  # (BS, WINDOW)
+
+        # place the window back into the full row (chunks c0, c0 + 1)
+        rep0 = pltpu.repeat(corr[:, :128], nc, axis=1)
+        rep1 = pltpu.repeat(corr[:, 128:], nc, axis=1)
+        tau = (
+            tau
+            + jnp.where(chunk == c0, rep0, 0.0)
+            + jnp.where(chunk == c0 + 1, rep1, 0.0)
+        )
+
+    n = P - 2 * width
+    for nhi_ref, out_ref in zip(nhi_refs, out_refs):
+        raw = jnp.exp(-nhi_ref[:] * tau)
+        acc = taps[0] * raw[:, 0:n]
+        for t in range(1, 2 * width + 1):
+            acc = acc + taps[t] * raw[:, t : t + n]
+        out_ref[:] = _encode_store(acc, out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_lines", "num_pixels", "interpret", "out_dtype"),
+)
+def _absorption_all_pallas(
+    wl_pad,
+    z_absorber,
+    c0,
+    nhis,
+    num_lines: int,
+    num_pixels: int,
+    interpret: bool = False,
+    out_dtype=None,
+):
+    width = C.INSTRUMENT_PROFILE_HALF_WIDTH
+    taps = tuple(float(t) for t in C.INSTRUMENT_PROFILE)
+    sigma = float(C.THERMAL_SIGMA_CGS)
+    P = num_pixels
+    P_pad = wl_pad.shape[0]
+    S = z_absorber.shape[0]
+    F = len(nhis)
+    assert P_pad % 128 == 0 and c0.shape == (S, num_lines)
+
+    block_s = largest_aligned_divisor(S, 512) or 512
+    n_blocks = -(-S // block_s)
+    S_pad = n_blocks * block_s
+    z32 = jnp.asarray(z_absorber, jnp.float32)
+    c0i = jnp.asarray(c0, jnp.int32)
+    nhi32 = [jnp.asarray(nhi, jnp.float32) for nhi in nhis]
+    if S_pad != S:
+        zpad = lambda x: jnp.concatenate(
+            [x, jnp.zeros((S_pad - S,) + x.shape[1:], x.dtype)], axis=0
+        )
+        z32, c0i = zpad(z32), zpad(c0i)
+        nhi32 = [zpad(nhi) for nhi in nhi32]
+
+    n_out = _out_width(P - 2 * width, out_dtype)
+    row = lambda i: (i, 0)
+    outs = pl.pallas_call(
+        functools.partial(
+            _abs_all_kernel, taps=taps, width=width, num_lines=num_lines,
+            sigma=sigma, P=P,
+        ),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, P_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, num_lines), row, memory_space=pltpu.VMEM),
+        ]
+        + [
+            pl.BlockSpec((block_s, 1), row, memory_space=pltpu.VMEM)
+            for _ in range(F)
+        ],
+        out_specs=[
+            pl.BlockSpec((block_s, n_out), row, memory_space=pltpu.VMEM)
+            for _ in range(F)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S_pad, n_out), out_dtype or jnp.float32)
+            for _ in range(F)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(wl_pad[None, :], z32[:, None], c0i, *[nhi[:, None] for nhi in nhi32])
+    return tuple(out[:S] for out in outs)
+
+
+def absorption_all_pallas(
+    wavelengths,
+    z_absorber,
+    nhis,
+    num_lines: int = 3,
+    interpret: bool = False,
+    out_dtype=None,
+):
+    """Fully fused windowed Voigt absorption: one kernel computes the
+    broadened, storage-encoded (S, P - 6) absorption profiles for every
+    column-density family in ``nhis`` from the shared redshift samples.
+
+    Replaces the ``_windowed_tau_parts`` + ``absorption_windowed_pallas``
+    composition on the hot path (same math as the non-tier windowed
+    XLA formulation; parity pinned by tests/test_voigt.py).
+
+    :param nhis: tuple of (S,) column-density arrays (e.g. the DLA and
+        subDLA sample sets, which share their z offsets —
+        reference: multi_dlas/set_lls_parameters.m:22,59).
+    :return: tuple of (S, P - 6) profiles, one per family.
+    """
+    from .voigt import window_chunk_starts
+
+    wl_pad, c0 = window_chunk_starts(wavelengths, z_absorber, num_lines)
+    return _absorption_all_pallas(
+        wl_pad,
+        z_absorber,
+        c0,
+        tuple(nhis),
+        num_lines=num_lines,
+        num_pixels=wavelengths.shape[0],
+        interpret=interpret,
+        out_dtype=out_dtype,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_pixels", "interpret", "out_dtype")
 )

@@ -33,7 +33,7 @@ from ..data.catalog import PriorCatalog
 from ..data.samples import DLASamples, SubDLASamples
 from ..data.spectrum import Spectrum, stack
 from ..models.evidence import null_log_evidence, qmc_log_evidences
-from ..ops.kernel_config import resolve_voigt_impl
+from ..ops.kernel_config import FUSED_ABS, on_tpu, resolve_voigt_impl
 from ..ops.voigt import unit_lyman_optical_depth
 from ..models.learned import LearnedModel, build_spectrum_model
 from ..models.pipeline import EvidenceOutputs, SpectrumResult
@@ -132,22 +132,47 @@ def _evidences_fn(
             model = build_spectrum_model(learned, spec, params)
             k_dla, k_sub = jax.random.split(key)
             unit_tau = None
+            A_dla = A_sub = None
             if share_unit_tau:
                 z_samples = (
                     model.min_z_dla
                     + (model.max_z_dla - model.min_z_dla) * dla_offsets
                 )
-                # as_parts: the windowed path hands the window
-                # corrections to the fused Pallas tail kernel unplaced
-                # (ops/voigt.WindowedTauParts); falls back to the dense
-                # array off-TPU
-                unit_tau = unit_lyman_optical_depth(
-                    model.padded_wavelengths,
-                    z_samples,
-                    params.num_lines,
-                    impl=voigt_impl,
-                    as_parts=True,
+                fused = (
+                    FUSED_ABS
+                    and resolve_voigt_impl(voigt_impl, model.y) == "windowed"
+                    and on_tpu(model.y)
                 )
+                if fused:
+                    # the fully fused absorption kernel computes the
+                    # storage-encoded profiles for BOTH families in one
+                    # pass (far field + windows + placement + exp +
+                    # broadening + encode, all in VMEM)
+                    from ..models.evidence import resolve_abs_store
+                    from ..ops.voigt_pallas import absorption_all_pallas
+
+                    store = resolve_abs_store(
+                        model.y.dtype, model.y, model.y.shape[0]
+                    )
+                    A_dla, A_sub = absorption_all_pallas(
+                        model.padded_wavelengths,
+                        z_samples,
+                        (dla_nhi, sub_nhi),
+                        params.num_lines,
+                        out_dtype=store,
+                    )
+                else:
+                    # as_parts: the windowed path hands the window
+                    # corrections to the fused Pallas tail kernel
+                    # unplaced (ops/voigt.WindowedTauParts); falls back
+                    # to the dense array off-TPU
+                    unit_tau = unit_lyman_optical_depth(
+                        model.padded_wavelengths,
+                        z_samples,
+                        params.num_lines,
+                        impl=voigt_impl,
+                        as_parts=True,
+                    )
             return EvidenceOutputs(
                 log_evidence_null=null_log_evidence(model),
                 dla=qmc_log_evidences(
@@ -161,6 +186,7 @@ def _evidences_fn(
                     use_pallas=use_pallas,
                     voigt_impl=voigt_impl,
                     unit_tau=unit_tau,
+                    A_override=A_dla,
                 ),
                 subdla=qmc_log_evidences(
                     model,
@@ -173,6 +199,7 @@ def _evidences_fn(
                     use_pallas=use_pallas,
                     voigt_impl=voigt_impl,
                     unit_tau=unit_tau,
+                    A_override=A_sub,
                 ),
             )
 

@@ -337,3 +337,164 @@ def test_windowed_parts_and_placement_kernel():
     np.testing.assert_allclose(
         np.asarray(got2), np.asarray(want), rtol=2e-6, atol=1e-7
     )
+
+
+def test_absorption_all_pallas_matches_windowed(monkeypatch):
+    """The fully fused absorption kernel (far field + windows +
+    placement + exp + broadening + encode in one pallas_call, interpret
+    mode) matches the dense windowed path for every family, on both a
+    regular and a ±30% jittered log grid.  The kernel evaluates the
+    full-K CF over the whole window (the non-tier blend), so the strict
+    comparison pins the WINDOW_TIER=0 reference.
+
+    Tolerances: at pixels 1-2 px from a line core the f32 Weideman
+    evaluation computes a ~1e-13-scale w from O(1) intermediates —
+    cancellation puts BOTH paths ~1e-3 (absorption units) from the f64
+    exact oracle, and fusion-order/FMA differences move them within
+    that shared noise floor (measured: mutual 3.5e-4 max while each
+    sits 0.8-1.2e-3 from truth).  The strict mutual bound is 5e-4; the
+    meaningful accuracy bound is the truth-anchored one below."""
+    import gpy_dla_detection_tpu.ops.voigt as V
+
+    monkeypatch.setattr(V, "WINDOW_TIER", False)
+    import jax.numpy as jnp
+
+    from gpy_dla_detection_tpu import constants as C
+    from gpy_dla_detection_tpu.ops.voigt import (
+        _unit_lyman_series_optical_depth,
+        _unit_lyman_series_optical_depth_windowed,
+        instrumental_broadening,
+    )
+    from gpy_dla_detection_tpu.ops.voigt_pallas import (
+        absorption_all_pallas,
+        absorption_from_unit_tau_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    P = 300
+    base = 1215.67 * 3.9 * 10 ** (1e-4 * np.arange(P))
+    steps = np.diff(base) * (1.0 + 0.3 * rng.uniform(-1, 1, P - 1))
+    jittered = base[0] + np.concatenate([[0.0], np.cumsum(steps)])
+    S = 24
+    z = jnp.asarray(rng.uniform(2.9, 3.8, S).astype(np.float32))
+    nhi_dla = jnp.asarray(10 ** rng.uniform(20, 22, S).astype(np.float32))
+    nhi_sub = jnp.asarray(10 ** rng.uniform(19.5, 20.3, S).astype(np.float32))
+
+    for grid in (base, jittered):
+        wl = jnp.asarray(grid.astype(np.float32))
+        dense = _unit_lyman_series_optical_depth_windowed(
+            wl, z, 3, C.THERMAL_SIGMA_CGS
+        )
+        tau64 = _unit_lyman_series_optical_depth(
+            jnp.asarray(np.asarray(wl, np.float64)),
+            jnp.asarray(np.asarray(z, np.float64)),
+            3,
+            C.THERMAL_SIGMA_CGS,
+        )
+        got = absorption_all_pallas(
+            wl, z, (nhi_dla, nhi_sub), 3, interpret=True
+        )
+        for g, n in zip(got, (nhi_dla, nhi_sub)):
+            want = instrumental_broadening(jnp.exp(-n[:, None] * dense))
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(want), rtol=0, atol=5e-4
+            )
+            # truth-anchored: the fused kernel must be AS accurate as
+            # the XLA windowed path it replaces
+            n64 = jnp.asarray(np.asarray(n, np.float64))
+            truth = np.asarray(
+                instrumental_broadening(jnp.exp(-n64[:, None] * tau64))
+            )
+            e_got = np.abs(np.asarray(g, np.float64) - truth).max()
+            e_want = np.abs(np.asarray(want, np.float64) - truth).max()
+            assert e_got <= max(1.5 * e_want, 1e-4), (e_got, e_want)
+
+        # packed i16-pair encode: bit-identical to the tail kernel's
+        # encode of the same dense tau (the transport format must not
+        # depend on which kernel produced it)
+        got_p = absorption_all_pallas(
+            wl, z, (nhi_dla,), 3, interpret=True, out_dtype=jnp.int32
+        )[0]
+        ref_p = absorption_from_unit_tau_pallas(
+            dense, nhi_dla, interpret=True, out_dtype=jnp.int32
+        )
+        assert np.asarray(jnp.abs(
+            (got_p ^ ref_p) & 0xFFFF
+        )).max() <= 1 and np.asarray(jnp.abs(
+            (got_p >> 16) - (ref_p >> 16)
+        )).max() <= 1, "packed codes differ by more than 1 ulp of i16"
+
+
+def test_fused_absorption_orchestration_parity():
+    """batch_evidences with the fused absorption kernel (forced on via
+    monkeypatched gates, interpret mode) matches the parts + placement
+    composition it replaces."""
+    import jax
+    import jax.numpy as jnp
+
+    import gpy_dla_detection_tpu.parallel.batch as B
+    from gpy_dla_detection_tpu.data.samples import (
+        generate_dla_samples,
+        generate_subdla_samples,
+    )
+    from gpy_dla_detection_tpu.data.spectrum import astype
+    from gpy_dla_detection_tpu.data.synthetic import (
+        synthetic_learned_model,
+        synthetic_spectrum,
+    )
+    from gpy_dla_detection_tpu.data.spectrum import stack
+    from gpy_dla_detection_tpu.ops import voigt_pallas as VP
+    from gpy_dla_detection_tpu.params import Parameters
+
+    params = Parameters(num_dla_samples=128, num_pixels_padded=256,
+                        min_lambda=1140.0, max_lambda=1190.0,
+                        normalization_min_lambda=1195.0,
+                        normalization_max_lambda=1215.0)
+    learned = synthetic_learned_model(params)
+    dla_s = generate_dla_samples(params)
+    sub_s = generate_subdla_samples(params)
+    specs = stack([
+        astype(synthetic_spectrum(params, learned, 3.0 + 0.1 * i, seed=i),
+               np.float32)
+        for i in range(2)
+    ])
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    learned32 = learned.astype(np.float32)
+
+    def run():
+        return B._evidences_fn(params, 2, None, "windowed", True)(
+            learned32, specs,
+            jnp.asarray(dla_s.offset_samples, jnp.float32),
+            jnp.asarray(dla_s.log_nhi_samples, jnp.float32),
+            jnp.asarray(dla_s.nhi_samples, jnp.float32),
+            jnp.asarray(dla_s.offset_samples, jnp.float32),
+            jnp.asarray(sub_s.log_nhi_samples, jnp.float32),
+            jnp.asarray(sub_s.nhi_samples, jnp.float32),
+            keys,
+        )
+
+    base = run()
+
+    orig = VP.absorption_all_pallas
+    forced = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    old_on_tpu, old_fused = B.on_tpu, B.FUSED_ABS
+    VP.absorption_all_pallas = forced
+    B.on_tpu, B.FUSED_ABS = (lambda x: True), True
+    try:
+        fused = run()
+    finally:
+        VP.absorption_all_pallas = orig
+        B.on_tpu, B.FUSED_ABS = old_on_tpu, old_fused
+
+    np.testing.assert_allclose(
+        np.asarray(fused.log_evidence_null),
+        np.asarray(base.log_evidence_null), rtol=0, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.dla.log_evidences),
+        np.asarray(base.dla.log_evidences), rtol=0, atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.subdla.log_evidences),
+        np.asarray(base.subdla.log_evidences), rtol=0, atol=2e-3,
+    )
