@@ -328,6 +328,7 @@ def _abs_all_kernel(
     num_lines,
     sigma,
     P,
+    tier,
 ):
     """The ENTIRE windowed Voigt absorption in one kernel: far-field
     rational + per-line window Weideman/CF corrections + placement +
@@ -393,13 +394,70 @@ def _abs_all_kernel(
         ax = jnp.abs(x_win)
         r2 = ax * ax + y_l * y_l
         y_win = jnp.full_like(x_win, y_l)
-        inner = r2 <= RADIUS * RADIUS
-        annulus = (~inner) & (r2 <= CF_FAR_RADIUS * CF_FAR_RADIUS)
-        wei, _ = _wofz_weideman(jnp.where(inner, ax, 0.0), y_win)
-        cf, _ = _wofz_cf(ax, y_win)  # full K
-        corr = amp * (
-            jnp.where(inner, wei, 0.0) + jnp.where(annulus, cf, 0.0)
-        )  # (BS, WINDOW)
+        if tier:
+            # Two-tier window evaluation (the in-kernel mirror of
+            # ops/voigt._windowed_tau_parts's WINDOW_TIER branch): the
+            # 20-term Weideman Horner + full-K CF run only on a 96-px
+            # strip of three 32-px blocks around the line-center
+            # estimate; the rest of the window uses the 2-term CF
+            # (relative truncation error ~1.6e-7 at |z| = 20 and
+            # falling as |z|^-4 — tier-2 pixels sit beyond |z| ~ 59).
+            # Extraction/placement use the same select-sum /
+            # repeat-mask pattern as the window itself, one 32-px
+            # block granularity down.
+            SB = 32
+            nb = WINDOW // SB
+            bs = c0_ref[:, num_lines + l : num_lines + l + 1]  # (BS, 1)
+            ax_s = []
+            for off in range(3):
+                s = jnp.zeros((BS, SB), dtype)
+                for b in range(nb):
+                    s = s + jnp.where(
+                        bs + off == b, ax[:, SB * b : SB * b + SB], 0.0
+                    )
+                ax_s.append(s)
+            ax_strip = jnp.concatenate(ax_s, axis=1)  # (BS, 3 SB)
+            y_strip = jnp.full_like(ax_strip, y_l)
+            r2_s = ax_strip * ax_strip + y_l * y_l
+            inner_s = r2_s <= RADIUS * RADIUS
+            ann_s = (~inner_s) & (r2_s <= CF_FAR_RADIUS * CF_FAR_RADIUS)
+            wei_s, _ = _wofz_weideman(
+                jnp.where(inner_s, ax_strip, 0.0), y_strip
+            )
+            cf_s, _ = _wofz_cf(ax_strip, y_strip)  # full K
+            sval = jnp.where(inner_s, wei_s, 0.0) + jnp.where(
+                ann_s, cf_s, 0.0
+            )  # (BS, 3 SB)
+            cf2, _ = _wofz_cf(ax, y_win, terms=2)
+            lane_block = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1) // SB
+            )
+            placed = jnp.zeros((BS, WINDOW), dtype)
+            for off in range(3):
+                rep = pltpu.repeat(
+                    sval[:, SB * off : SB * off + SB], nb, axis=1
+                )
+                placed = placed + jnp.where(lane_block == bs + off, rep, 0.0)
+            in_strip = (lane_block >= bs) & (lane_block <= bs + 2)
+            # exclude the |z| <= RADIUS Weideman disk from the mid
+            # tier: gross line-center misplacement then degrades like
+            # a missing correction instead of injecting in-disk
+            # 2-term-CF garbage (negative tau) — same guard as the
+            # XLA tier path
+            mid = (
+                (~in_strip)
+                & (r2 <= CF_FAR_RADIUS * CF_FAR_RADIUS)
+                & (r2 > RADIUS * RADIUS)
+            )
+            corr = amp * (placed + jnp.where(mid, cf2, 0.0))
+        else:
+            inner = r2 <= RADIUS * RADIUS
+            annulus = (~inner) & (r2 <= CF_FAR_RADIUS * CF_FAR_RADIUS)
+            wei, _ = _wofz_weideman(jnp.where(inner, ax, 0.0), y_win)
+            cf, _ = _wofz_cf(ax, y_win)  # full K
+            corr = amp * (
+                jnp.where(inner, wei, 0.0) + jnp.where(annulus, cf, 0.0)
+            )  # (BS, WINDOW)
 
         # place the window back into the full row (chunks c0, c0 + 1)
         rep0 = pltpu.repeat(corr[:, :128], nc, axis=1)
@@ -421,7 +479,9 @@ def _abs_all_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_lines", "num_pixels", "interpret", "out_dtype"),
+    static_argnames=(
+        "num_lines", "num_pixels", "interpret", "out_dtype", "tier",
+    ),
 )
 def _absorption_all_pallas(
     wl_pad,
@@ -432,6 +492,7 @@ def _absorption_all_pallas(
     num_pixels: int,
     interpret: bool = False,
     out_dtype=None,
+    tier: bool = True,
 ):
     width = C.INSTRUMENT_PROFILE_HALF_WIDTH
     taps = tuple(float(t) for t in C.INSTRUMENT_PROFILE)
@@ -440,7 +501,8 @@ def _absorption_all_pallas(
     P_pad = wl_pad.shape[0]
     S = z_absorber.shape[0]
     F = len(nhis)
-    assert P_pad % 128 == 0 and c0.shape == (S, num_lines)
+    # c0 carries [window start chunk | tier strip block] per line
+    assert P_pad % 128 == 0 and c0.shape == (S, 2 * num_lines)
 
     block_s = largest_aligned_divisor(S, 512) or 512
     n_blocks = -(-S // block_s)
@@ -460,13 +522,13 @@ def _absorption_all_pallas(
     outs = pl.pallas_call(
         functools.partial(
             _abs_all_kernel, taps=taps, width=width, num_lines=num_lines,
-            sigma=sigma, P=P,
+            sigma=sigma, P=P, tier=tier,
         ),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, P_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_s, 1), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_s, num_lines), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, 2 * num_lines), row, memory_space=pltpu.VMEM),
         ]
         + [
             pl.BlockSpec((block_s, 1), row, memory_space=pltpu.VMEM)
@@ -495,6 +557,7 @@ def absorption_all_pallas(
     num_lines: int = 3,
     interpret: bool = False,
     out_dtype=None,
+    tier: bool | None = None,
 ):
     """Fully fused windowed Voigt absorption: one kernel computes the
     broadened, storage-encoded (S, P - 6) absorption profiles for every
@@ -509,18 +572,30 @@ def absorption_all_pallas(
         reference: multi_dlas/set_lls_parameters.m:22,59).
     :return: tuple of (S, P - 6) profiles, one per family.
     """
+    from .kernel_config import FUSED_TIER
     from .voigt import window_chunk_starts
 
-    wl_pad, c0 = window_chunk_starts(wavelengths, z_absorber, num_lines)
+    if tier is None:
+        # NOT WINDOW_TIER: the XLA tier wins because each XLA fusion is
+        # an HBM round trip; in VMEM the full-window Weideman/CF is
+        # measured FASTER than the strip machinery (219.0 vs 206.6
+        # spectra/s/chip end to end) — the 32-lane masked
+        # extraction/placement ops waste vector lanes while flops are
+        # cheap.  GPY_DLA_FUSED_TIER=1 re-enables for experiments.
+        tier = FUSED_TIER
+    wl_pad, c0, b_strip = window_chunk_starts(
+        wavelengths, z_absorber, num_lines
+    )
     return _absorption_all_pallas(
         wl_pad,
         z_absorber,
-        c0,
+        jnp.concatenate([c0, b_strip], axis=1),
         tuple(nhis),
         num_lines=num_lines,
         num_pixels=wavelengths.shape[0],
         interpret=interpret,
         out_dtype=out_dtype,
+        tier=tier,
     )
 
 

@@ -339,13 +339,15 @@ def test_windowed_parts_and_placement_kernel():
     )
 
 
-def test_absorption_all_pallas_matches_windowed(monkeypatch):
+@pytest.mark.parametrize("tier", [False, True])
+def test_absorption_all_pallas_matches_windowed(monkeypatch, tier):
     """The fully fused absorption kernel (far field + windows +
     placement + exp + broadening + encode in one pallas_call, interpret
     mode) matches the dense windowed path for every family, on both a
-    regular and a ±30% jittered log grid.  The kernel evaluates the
-    full-K CF over the whole window (the non-tier blend), so the strict
-    comparison pins the WINDOW_TIER=0 reference.
+    regular and a ±30% jittered log grid, with the in-kernel two-tier
+    window evaluation both off (full-K CF + Weideman over the whole
+    window — the non-tier XLA blend) and on (96-px strip + 2-term CF —
+    the WINDOW_TIER XLA branch).
 
     Tolerances: at pixels 1-2 px from a line core the f32 Weideman
     evaluation computes a ~1e-13-scale w from O(1) intermediates —
@@ -356,7 +358,7 @@ def test_absorption_all_pallas_matches_windowed(monkeypatch):
     meaningful accuracy bound is the truth-anchored one below."""
     import gpy_dla_detection_tpu.ops.voigt as V
 
-    monkeypatch.setattr(V, "WINDOW_TIER", False)
+    monkeypatch.setattr(V, "WINDOW_TIER", tier)
     import jax.numpy as jnp
 
     from gpy_dla_detection_tpu import constants as C
@@ -392,7 +394,7 @@ def test_absorption_all_pallas_matches_windowed(monkeypatch):
             C.THERMAL_SIGMA_CGS,
         )
         got = absorption_all_pallas(
-            wl, z, (nhi_dla, nhi_sub), 3, interpret=True
+            wl, z, (nhi_dla, nhi_sub), 3, interpret=True, tier=tier
         )
         for g, n in zip(got, (nhi_dla, nhi_sub)):
             want = instrumental_broadening(jnp.exp(-n[:, None] * dense))
@@ -409,20 +411,20 @@ def test_absorption_all_pallas_matches_windowed(monkeypatch):
             e_want = np.abs(np.asarray(want, np.float64) - truth).max()
             assert e_got <= max(1.5 * e_want, 1e-4), (e_got, e_want)
 
-        # packed i16-pair encode: bit-identical to the tail kernel's
-        # encode of the same dense tau (the transport format must not
-        # depend on which kernel produced it)
-        got_p = absorption_all_pallas(
-            wl, z, (nhi_dla,), 3, interpret=True, out_dtype=jnp.int32
+        # packed i16-pair encode: the int32 output must be exactly the
+        # fixed-point encode of the kernel's own f32 output (the
+        # storage format is independent of which kernel produced it)
+        gf = absorption_all_pallas(
+            wl, z, (nhi_dla,), 3, interpret=True, tier=tier
         )[0]
-        ref_p = absorption_from_unit_tau_pallas(
-            dense, nhi_dla, interpret=True, out_dtype=jnp.int32
-        )
-        assert np.asarray(jnp.abs(
-            (got_p ^ ref_p) & 0xFFFF
-        )).max() <= 1 and np.asarray(jnp.abs(
-            (got_p >> 16) - (ref_p >> 16)
-        )).max() <= 1, "packed codes differ by more than 1 ulp of i16"
+        got_p = absorption_all_pallas(
+            wl, z, (nhi_dla,), 3, interpret=True, tier=tier,
+            out_dtype=jnp.int32,
+        )[0]
+        codes = np.round(np.asarray(gf) * 32767.0).astype(np.int32)
+        h = codes.shape[1] // 2
+        expect = codes[:, :h] | (codes[:, h:] << 16)
+        np.testing.assert_array_equal(np.asarray(got_p), expect)
 
 
 def test_fused_absorption_orchestration_parity():
