@@ -35,7 +35,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.interp import chunked_searchsorted
-from ..ops.kernel_config import ABS_I16_SCALE, on_tpu, resolve_use_pallas
+from ..ops.kernel_config import (
+    ABS_I16_SCALE,
+    FUSED_ABS,
+    on_tpu,
+    resolve_use_pallas,
+    resolve_voigt_impl,
+)
 from ..ops.logmvn import (
     batched_log_mvnpdf,
     likelihood_pair_basis,
@@ -247,6 +253,25 @@ def qmc_log_evidences(
         A = A_override
     elif unit_tau is not None and profile == "dla":
         A = absorption_from_unit_tau(unit_tau, nhi_samples, out_dtype=store)
+    elif (
+        FUSED_ABS
+        and resolve_voigt_impl(voigt_impl, model.y) == "windowed"
+        and on_tpu(model.y)
+    ):
+        # "windowed" resolves only on TPU/f32, where the fused kernel
+        # computes far field + windows + placement + exp + broadening +
+        # encode in one pallas_call; the Lyman-limit break of the LLS
+        # profile is linear in nhi and rides the shared unit tau
+        from ..ops.voigt_pallas import absorption_all_pallas
+
+        (A,) = absorption_all_pallas(
+            model.padded_wavelengths,
+            z_samples,
+            (nhi_samples,),
+            params.num_lines,
+            out_dtype=store,
+            lls_break=(profile == "lls"),
+        )
     else:
         A = PROFILES[profile](
             model.padded_wavelengths,

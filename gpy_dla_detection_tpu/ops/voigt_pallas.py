@@ -329,6 +329,7 @@ def _abs_all_kernel(
     sigma,
     P,
     tier,
+    lls_break,
 ):
     """The ENTIRE windowed Voigt absorption in one kernel: far-field
     rational + per-line window Weideman/CF corrections + placement +
@@ -366,7 +367,19 @@ def _abs_all_kernel(
     one_plus_z = 1.0 + z_ref[:]  # (BS, 1)
     chunk = jax.lax.broadcasted_iota(jnp.int32, (1, P_pad), 1) // 128
 
-    tau = jnp.zeros((BS, P_pad), dtype)
+    if lls_break:
+        # Lyman-limit break opacity per unit column density
+        # (reference: voigt_lls.py:254-363): tau_break = nhi / 10^17.2
+        # * (lambda_rest / 911.7641)^3 for rest wavelengths below the
+        # limit.  Linear in nhi, so it rides the shared unit tau;
+        # (rest / limit) = wl / (limit * (1 + z)) needs only a (BS, 1)
+        # reciprocal.
+        t = wl * (1.0 / (911.7641 * one_plus_z))  # (BS, P_pad)
+        tau = jnp.where(
+            t > 1.0, 0.0, jnp.asarray(10.0**-17.2, dtype) * t * t * t
+        )
+    else:
+        tau = jnp.zeros((BS, P_pad), dtype)
     for l in range(num_lines):
         lam_l = jnp.asarray(C.LYMAN_WAVELENGTHS_A[l], dtype)
         lead_l = jnp.asarray(C.LYMAN_LEADING_CONSTANTS[l], dtype)
@@ -481,6 +494,7 @@ def _abs_all_kernel(
     jax.jit,
     static_argnames=(
         "num_lines", "num_pixels", "interpret", "out_dtype", "tier",
+        "lls_break",
     ),
 )
 def _absorption_all_pallas(
@@ -493,6 +507,7 @@ def _absorption_all_pallas(
     interpret: bool = False,
     out_dtype=None,
     tier: bool = True,
+    lls_break: bool = False,
 ):
     width = C.INSTRUMENT_PROFILE_HALF_WIDTH
     taps = tuple(float(t) for t in C.INSTRUMENT_PROFILE)
@@ -522,7 +537,7 @@ def _absorption_all_pallas(
     outs = pl.pallas_call(
         functools.partial(
             _abs_all_kernel, taps=taps, width=width, num_lines=num_lines,
-            sigma=sigma, P=P, tier=tier,
+            sigma=sigma, P=P, tier=tier, lls_break=lls_break,
         ),
         grid=(n_blocks,),
         in_specs=[
@@ -558,6 +573,7 @@ def absorption_all_pallas(
     interpret: bool = False,
     out_dtype=None,
     tier: bool | None = None,
+    lls_break: bool = False,
 ):
     """Fully fused windowed Voigt absorption: one kernel computes the
     broadened, storage-encoded (S, P - 6) absorption profiles for every
@@ -596,6 +612,7 @@ def absorption_all_pallas(
         interpret=interpret,
         out_dtype=out_dtype,
         tier=tier,
+        lls_break=lls_break,
     )
 
 

@@ -427,6 +427,47 @@ def test_absorption_all_pallas_matches_windowed(monkeypatch, tier):
         np.testing.assert_array_equal(np.asarray(got_p), expect)
 
 
+def test_absorption_all_pallas_lls_break(monkeypatch):
+    """The fused kernel's Lyman-limit break (lls_break=True, interpret
+    mode) matches voigt_absorption_lls — the break is linear in nhi and
+    rides the shared unit tau."""
+    import gpy_dla_detection_tpu.ops.voigt as V
+
+    monkeypatch.setattr(V, "WINDOW_TIER", False)
+    import jax.numpy as jnp
+
+    from gpy_dla_detection_tpu.ops.voigt import voigt_absorption_lls
+    from gpy_dla_detection_tpu.ops.voigt_pallas import absorption_all_pallas
+
+    rng = np.random.default_rng(5)
+    P = 1664
+    # grid reaching blueward of the Lyman limit (the LLS search window)
+    wl = jnp.asarray(
+        (850.0 * 4.2 * 10 ** (1e-4 * np.arange(P))).astype(np.float32)
+    )
+    S = 16
+    z = jnp.asarray(rng.uniform(3.0, 3.6, S).astype(np.float32))
+    nhi = jnp.asarray(10 ** rng.uniform(17.5, 20.5, S).astype(np.float32))
+
+    # off-TPU resolve_voigt_impl forces "exact", so this pins the fused
+    # kernel against the exact-f32 oracle: the tolerance carries both
+    # the windowed-vs-exact far-field truncation (~5e-5) and the shared
+    # near-core f32 cancellation floor (~1e-3; see the windowed parity
+    # test above)
+    want = voigt_absorption_lls(wl, nhi, z, 3, impl="exact")
+    got = absorption_all_pallas(
+        wl, z, (nhi,), 3, interpret=True, tier=False, lls_break=True
+    )[0]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=0, atol=2.5e-3
+    )
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    # away from the cancellation floor the agreement must be tight:
+    # the near-core population is ~0.7% of pixels (~4 px x 3 lines per
+    # sample), so the 99th percentile must sit at the far-field level
+    assert np.quantile(err, 0.99) < 5e-5, np.quantile(err, 0.99)
+
+
 def test_fused_absorption_orchestration_parity():
     """batch_evidences with the fused absorption kernel (forced on via
     monkeypatched gates, interpret mode) matches the parts + placement
