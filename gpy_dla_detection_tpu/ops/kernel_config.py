@@ -56,6 +56,15 @@ WINDOW_TIER: bool = os.environ.get("GPY_DLA_WINDOW_TIER", "1") == "1"
 # parts + placement-kernel composition.
 FUSED_ABS: bool = os.environ.get("GPY_DLA_FUSED_ABS", "1") == "1"
 
+# Per-line polynomial Faddeeva inside the fused kernel (the Lorentzian
+# width is a compile-time constant per Lyman line, so
+# Re w(x+iy) = exp(-u) + y*R(u) with R a smooth O(1) function —
+# ~35 flops/px replace the ~210-flop Weideman + full-K CF blend at
+# BETTER near-core accuracy; fits generated from scipy's f64 wofz at
+# trace time, measured ~1e-6 relative across the window).
+# GPY_DLA_FUSED_POLY=0 restores the Weideman/CF blend in-kernel.
+FUSED_POLY: bool = os.environ.get("GPY_DLA_FUSED_POLY", "1") == "1"
+
 # In-kernel two-tier window evaluation for the fused kernel: measured
 # SLOWER than the full-window blend (206.6 vs 219.0 spectra/s/chip) —
 # in VMEM the flops the tier saves are cheaper than its 32-lane masked

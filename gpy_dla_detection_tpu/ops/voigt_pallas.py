@@ -18,6 +18,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -318,6 +319,52 @@ def absorption_windowed_pallas(
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _window_poly_coeffs(y: float, u0: float = 9.0,
+                        deg_disk: int = 16, deg_wing: int = 10):
+    """Per-line polynomial fit of the window Faddeeva values for the
+    fused kernel: with the Lorentzian width ``y`` a COMPILE-TIME
+    constant per Lyman line, ``Re w(x + iy) = exp(-u) + y * R(u)``
+    (u = x^2) where R is smooth and O(1)-ranged — no cancellation, so
+    the f32 evaluation is MORE accurate near line cores than the f32
+    Weideman rational (which assembles a ~1e-13-scale w from O(1)
+    intermediates).  Two monomial fits (Chebyshev-derived, f32 Horner):
+
+    * disk  u in [0, u0]:           R(s),  s = 2 u / u0 - 1
+    * wing  u in [u0, CF_FAR^2]:    w = exp(-u) + y * t * S(st),
+                                    t = 1/u, st = 2 u0 t - 1
+
+    Measured f32 accuracy ~1e-6 relative across the whole window for
+    the three production y_l (scan in PERFORMANCE.md round 4); the
+    reference values come from scipy's f64 ``wofz`` at import time, so
+    the fit is independent of jax's x64 state.
+    """
+    import numpy as np
+    from scipy.special import wofz
+
+    from .voigt import CF_FAR_RADIUS
+
+    u = np.linspace(0.0, u0, 30001)
+    w = wofz(np.sqrt(u) + 1j * y).real
+    R = (w - np.exp(-u)) / y
+    s = 2.0 * u / u0 - 1.0
+    cd = (
+        np.polynomial.chebyshev.Chebyshev.fit(s, R, deg_disk)
+        .convert(kind=np.polynomial.Polynomial)
+        .coef.astype(np.float32)
+    )
+    uu = np.geomspace(u0, float(CF_FAR_RADIUS) ** 2, 30001)
+    t = 1.0 / uu
+    S = (wofz(np.sqrt(uu) + 1j * y).real - np.exp(-uu)) / (y * t)
+    st = 2.0 * u0 * t - 1.0
+    cw = (
+        np.polynomial.chebyshev.Chebyshev.fit(st, S, deg_wing)
+        .convert(kind=np.polynomial.Polynomial)
+        .coef.astype(np.float32)
+    )
+    return tuple(float(c) for c in cd), tuple(float(c) for c in cw)
+
+
 def _abs_all_kernel(
     wl_ref,  # (1, P_pad) padded wavelengths
     z_ref,  # (BS, 1) absorber redshifts
@@ -330,6 +377,7 @@ def _abs_all_kernel(
     P,
     tier,
     lls_break,
+    poly,
 ):
     """The ENTIRE windowed Voigt absorption in one kernel: far-field
     rational + per-line window Weideman/CF corrections + placement +
@@ -407,7 +455,36 @@ def _abs_all_kernel(
         ax = jnp.abs(x_win)
         r2 = ax * ax + y_l * y_l
         y_win = jnp.full_like(x_win, y_l)
-        if tier:
+        if poly:
+            # Per-line polynomial Faddeeva (see _window_poly_coeffs):
+            # ~35 flops/px replace the ~210-flop Weideman + full-K CF
+            # blend, at BETTER near-core accuracy (exp(-u) carries the
+            # Gaussian core at full relative precision — no
+            # cancellation).  y_l is a compile-time constant, so the
+            # fit is exact in y.
+            u0 = 9.0
+            y_py = float(C.LYMAN_LORENTZIAN_WIDTHS[l]) * (
+                1.0 / (float(np.sqrt(2.0)) * sigma)
+            )
+            cd, cw = _window_poly_coeffs(y_py, u0)
+            u = ax * ax
+            eu = jnp.exp(-u)
+            s = u * jnp.asarray(2.0 / u0, dtype) - 1.0
+            disk = jnp.full_like(u, cd[-1])
+            for c in cd[-2::-1]:
+                disk = disk * s + c
+            disk = eu + y_l * disk
+            t = 1.0 / jnp.maximum(u, u0)
+            st = t * jnp.asarray(2.0 * u0, dtype) - 1.0
+            wing = jnp.full_like(u, cw[-1])
+            for c in cw[-2::-1]:
+                wing = wing * st + c
+            wing = eu + y_l * t * wing
+            in_win = r2 <= CF_FAR_RADIUS * CF_FAR_RADIUS
+            corr = amp * jnp.where(
+                in_win, jnp.where(u <= u0, disk, wing), 0.0
+            )
+        elif tier:
             # Two-tier window evaluation (the in-kernel mirror of
             # ops/voigt._windowed_tau_parts's WINDOW_TIER branch): the
             # 20-term Weideman Horner + full-K CF run only on a 96-px
@@ -494,7 +571,7 @@ def _abs_all_kernel(
     jax.jit,
     static_argnames=(
         "num_lines", "num_pixels", "interpret", "out_dtype", "tier",
-        "lls_break",
+        "lls_break", "poly",
     ),
 )
 def _absorption_all_pallas(
@@ -508,6 +585,7 @@ def _absorption_all_pallas(
     out_dtype=None,
     tier: bool = True,
     lls_break: bool = False,
+    poly: bool = False,
 ):
     width = C.INSTRUMENT_PROFILE_HALF_WIDTH
     taps = tuple(float(t) for t in C.INSTRUMENT_PROFILE)
@@ -537,7 +615,7 @@ def _absorption_all_pallas(
     outs = pl.pallas_call(
         functools.partial(
             _abs_all_kernel, taps=taps, width=width, num_lines=num_lines,
-            sigma=sigma, P=P, tier=tier, lls_break=lls_break,
+            sigma=sigma, P=P, tier=tier, lls_break=lls_break, poly=poly,
         ),
         grid=(n_blocks,),
         in_specs=[
@@ -574,6 +652,7 @@ def absorption_all_pallas(
     out_dtype=None,
     tier: bool | None = None,
     lls_break: bool = False,
+    poly: bool | None = None,
 ):
     """Fully fused windowed Voigt absorption: one kernel computes the
     broadened, storage-encoded (S, P - 6) absorption profiles for every
@@ -588,9 +667,11 @@ def absorption_all_pallas(
         reference: multi_dlas/set_lls_parameters.m:22,59).
     :return: tuple of (S, P - 6) profiles, one per family.
     """
-    from .kernel_config import FUSED_TIER
+    from .kernel_config import FUSED_POLY, FUSED_TIER
     from .voigt import window_chunk_starts
 
+    if poly is None:
+        poly = FUSED_POLY
     if tier is None:
         # NOT WINDOW_TIER: the XLA tier wins because each XLA fusion is
         # an HBM round trip; in VMEM the full-window Weideman/CF is
@@ -613,6 +694,7 @@ def absorption_all_pallas(
         out_dtype=out_dtype,
         tier=tier,
         lls_break=lls_break,
+        poly=poly,
     )
 
 

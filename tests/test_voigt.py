@@ -339,8 +339,10 @@ def test_windowed_parts_and_placement_kernel():
     )
 
 
-@pytest.mark.parametrize("tier", [False, True])
-def test_absorption_all_pallas_matches_windowed(monkeypatch, tier):
+@pytest.mark.parametrize(
+    "tier,poly", [(False, False), (True, False), (False, True)]
+)
+def test_absorption_all_pallas_matches_windowed(monkeypatch, tier, poly):
     """The fully fused absorption kernel (far field + windows +
     placement + exp + broadening + encode in one pallas_call, interpret
     mode) matches the dense windowed path for every family, on both a
@@ -351,11 +353,14 @@ def test_absorption_all_pallas_matches_windowed(monkeypatch, tier):
 
     Tolerances: at pixels 1-2 px from a line core the f32 Weideman
     evaluation computes a ~1e-13-scale w from O(1) intermediates —
-    cancellation puts BOTH paths ~1e-3 (absorption units) from the f64
-    exact oracle, and fusion-order/FMA differences move them within
-    that shared noise floor (measured: mutual 3.5e-4 max while each
-    sits 0.8-1.2e-3 from truth).  The strict mutual bound is 5e-4; the
-    meaningful accuracy bound is the truth-anchored one below."""
+    cancellation puts BOTH Weideman paths ~1e-3 (absorption units)
+    from the f64 exact oracle, and fusion-order/FMA differences move
+    them within that shared noise floor (measured: mutual 3.5e-4 max
+    while each sits 0.8-1.2e-3 from truth).  The poly path evaluates
+    exp(-u) directly (no cancellation) and measures ~20x CLOSER to
+    truth (4.7e-5), so its mutual difference vs the XLA path IS the
+    XLA path's own error — the mutual bound loosens to 2e-3 and the
+    truth-anchored bound tightens to "at least as accurate"."""
     import gpy_dla_detection_tpu.ops.voigt as V
 
     monkeypatch.setattr(V, "WINDOW_TIER", tier)
@@ -394,31 +399,35 @@ def test_absorption_all_pallas_matches_windowed(monkeypatch, tier):
             C.THERMAL_SIGMA_CGS,
         )
         got = absorption_all_pallas(
-            wl, z, (nhi_dla, nhi_sub), 3, interpret=True, tier=tier
+            wl, z, (nhi_dla, nhi_sub), 3, interpret=True, tier=tier,
+            poly=poly,
         )
         for g, n in zip(got, (nhi_dla, nhi_sub)):
             want = instrumental_broadening(jnp.exp(-n[:, None] * dense))
             np.testing.assert_allclose(
-                np.asarray(g), np.asarray(want), rtol=0, atol=5e-4
+                np.asarray(g), np.asarray(want), rtol=0,
+                atol=2e-3 if poly else 5e-4,
             )
             # truth-anchored: the fused kernel must be AS accurate as
-            # the XLA windowed path it replaces
+            # the XLA windowed path it replaces (the poly path must be
+            # at least as close — it measures ~20x closer)
             n64 = jnp.asarray(np.asarray(n, np.float64))
             truth = np.asarray(
                 instrumental_broadening(jnp.exp(-n64[:, None] * tau64))
             )
             e_got = np.abs(np.asarray(g, np.float64) - truth).max()
             e_want = np.abs(np.asarray(want, np.float64) - truth).max()
-            assert e_got <= max(1.5 * e_want, 1e-4), (e_got, e_want)
+            bound = e_want + 1e-4 if poly else max(1.5 * e_want, 1e-4)
+            assert e_got <= bound, (e_got, e_want)
 
         # packed i16-pair encode: the int32 output must be exactly the
         # fixed-point encode of the kernel's own f32 output (the
         # storage format is independent of which kernel produced it)
         gf = absorption_all_pallas(
-            wl, z, (nhi_dla,), 3, interpret=True, tier=tier
+            wl, z, (nhi_dla,), 3, interpret=True, tier=tier, poly=poly
         )[0]
         got_p = absorption_all_pallas(
-            wl, z, (nhi_dla,), 3, interpret=True, tier=tier,
+            wl, z, (nhi_dla,), 3, interpret=True, tier=tier, poly=poly,
             out_dtype=jnp.int32,
         )[0]
         codes = np.round(np.asarray(gf) * 32767.0).astype(np.int32)
