@@ -74,6 +74,11 @@ _CHAIN_R2: bool = os.environ.get("GPY_DLA_CHAIN_R2", "1") == "1"
 # layout (rank-2 flat chain).
 _PACKED: bool = os.environ.get("GPY_DLA_PACKED", "1") == "1"
 
+# 3-pass bf16 split for the projection dot u = r @ M (default on; see
+# the comment at the use site in _assemble).  GPY_DLA_U_SPLIT=0
+# restores the 6-pass Precision.HIGHEST lowering.
+_U_SPLIT: bool = os.environ.get("GPY_DLA_U_SPLIT", "1") == "1"
+
 # rank-2 packed chain selection-dot strategy: "combined" (default)
 # fuses each iteration's four HIGHEST-precision selection dots into one
 # block-diagonal 0/1 selector at 3 exact bf16-split passes
@@ -141,7 +146,8 @@ def _chain_block_s(s_pad: int) -> int:
     return largest_aligned_divisor(s_pad, cap) or s_pad
 
 
-def _assemble(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, extra_refs):
+def _assemble(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, extra_refs,
+              u_split: bool = _U_SPLIT):
     """Shared first half of the fused kernel and the split stage-A
     kernel: noise assembly + the MXU capacitance/projection dots on one
     (BS, N) absorption block.  Returns (B, u, quad0, logdet0, n) —
@@ -211,12 +217,37 @@ def _assemble(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, extra_refs):
         + jnp.dot(w_hi, Mp_lo_ref[:], preferred_element_type=jnp.float32)
         + jnp.dot(w_lo, Mp_hi_ref[:], preferred_element_type=jnp.float32)
     )  # (BS, k*k)
-    u = jnp.dot(
-        r,
-        M_ref[:],
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (BS, k)
+    if u_split:
+        # same manual 3-pass bf16 split for the projection dot: HIGHEST
+        # lowers the f32 dot to SIX MXU passes, and at k = 20 the lane
+        # tile still pads to 128, so each pass costs like a 128-wide
+        # dot — the u dot at HIGHEST was measured at parity with the
+        # whole 256-lane-packed B dot (scripts/kernel_ablate.py).  The
+        # in-kernel split of M is two elementwise ops on the (N, k)
+        # operand, negligible next to the passes saved; dropping only
+        # the lo*lo term is the identical ~2^-16-relative argument the
+        # B dot's split rests on.  Measured vs an f64 oracle on
+        # production-scale inputs (S=4096, N=1280, k=20, on-TPU):
+        # split median |dll| 7.4e-4 / max 3.8e-3 vs HIGHEST 5.9e-4 /
+        # 3.0e-3 on |ll| ~ 1.1e4 — both at the same ~1e-7 relative
+        # floor set elsewhere in the f32 pipeline.
+        M = M_ref[:]
+        M_hi = M.astype(jnp.bfloat16)
+        M_lo = (M - M_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        r_hi = r.astype(jnp.bfloat16)
+        r_lo = (r - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        u = (
+            jnp.dot(r_hi, M_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(r_hi, M_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(r_lo, M_hi, preferred_element_type=jnp.float32)
+        )  # (BS, k)
+    else:
+        u = jnp.dot(
+            r,
+            M_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (BS, k)
 
     quad0 = jnp.sum(delta * delta * d_inv, axis=1, keepdims=True)  # (BS, 1)
     # log d = -log d_inv on valid pixels; masked entries contribute
@@ -227,7 +258,7 @@ def _assemble(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, extra_refs):
     return B, u, quad0, logdet0, n
 
 
-def _make_cap_kernel(k: int, n_extra: int):
+def _make_cap_kernel(k: int, n_extra: int, u_split: bool = _U_SPLIT):
     """Stage-A kernel: noise assembly + MXU dots per (BS, N) block
     (:func:`_assemble`); writes the flat capacitance B, projection u,
     and the data-space quad/logdet scalars (with n log 2pi folded in)
@@ -237,7 +268,8 @@ def _make_cap_kernel(k: int, n_extra: int):
         extra_refs = rest[:n_extra]
         B_ref, u_ref, misc_ref = rest[n_extra:]
         B, u, quad0, logdet0, n = _assemble(
-            rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, extra_refs
+            rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, extra_refs,
+            u_split=u_split,
         )
         B_ref[:] = B
         u_ref[:] = u
@@ -685,7 +717,7 @@ def _make_chain_kernel_tp2c(k: int):
     return _kernel
 
 
-def _make_kernel(k: int, n_extra: int):
+def _make_kernel(k: int, n_extra: int, u_split: bool = _U_SPLIT):
     """The single fused kernel (GPY_DLA_SPLIT_CHAIN=0 rollback path):
     :func:`_assemble` followed by the row-layout factorization chain in
     the same grid step."""
@@ -694,7 +726,8 @@ def _make_kernel(k: int, n_extra: int):
         extra_refs = rest[:n_extra]
         (ll_ref,) = rest[n_extra:]
         B, u, quad0, logdet0, n = _assemble(
-            rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, extra_refs
+            rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, extra_refs,
+            u_split=u_split,
         )
 
         # Capacitance A = I + M^T D^-1 M kept FLAT as (BS, k*k) — Mosaic
@@ -753,14 +786,15 @@ def _make_kernel(k: int, n_extra: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "interpret", "chain_t", "chain_r2", "packed", "chain_dot"
+        "k", "interpret", "chain_t", "chain_r2", "packed", "chain_dot",
+        "u_split",
     ),
 )
 def batched_log_mvnpdf_pallas(
     y, mu, M, omega2, v, mask, absorption, M_pair, k: int,
     interpret: bool = False, extra=None, chain_t: bool | None = None,
     chain_r2: bool | None = None, packed: bool | None = None,
-    chain_dot: str | None = None,
+    chain_dot: str | None = None, u_split: bool | None = None,
 ):
     """Fused TPU evaluation of the batched masked Woodbury log-density.
 
@@ -820,6 +854,8 @@ def batched_log_mvnpdf_pallas(
         chain_r2 = _CHAIN_R2
     if packed is None:
         packed = _PACKED
+    if u_split is None:
+        u_split = _U_SPLIT
     # packed requires the split transposed path; fall back otherwise
     packed = packed and _SPLIT_CHAIN and chain_t
 
@@ -866,7 +902,7 @@ def batched_log_mvnpdf_pallas(
     if _SPLIT_CHAIN:
         vmem = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
         B, u, misc = pl.pallas_call(
-            _make_cap_kernel(k, len(extras)),
+            _make_cap_kernel(k, len(extras), u_split=u_split),
             grid=(n_blocks,),
             in_specs=in_specs,
             out_specs=(
@@ -933,7 +969,7 @@ def batched_log_mvnpdf_pallas(
         return ll[:S, 0]
 
     (ll,) = pl.pallas_call(
-        _make_kernel(k, len(extras)),
+        _make_kernel(k, len(extras), u_split=u_split),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=(

@@ -145,26 +145,31 @@ def test_pallas_chain_layouts_agree():
             *args, A, use_pallas=False, extra=jnp.asarray(extra)
         )
     )
-    for chain_t, chain_r2, packed, chain_dot in (
-        (False, False, False, None),
-        (True, False, False, None),
-        (True, True, False, None),
-        (True, False, True, None),  # packed-triangular capacitance + chain
-        (True, True, True, "separate"),  # packed rank-2, four-dot kernel
-        (True, True, True, "combined"),  # packed rank-2, one combined
+    for chain_t, chain_r2, packed, chain_dot, u_split in (
+        (False, False, False, None, None),
+        (True, False, False, None, None),
+        (True, True, False, None, None),
+        (True, False, True, None, None),  # packed-triangular cap + chain
+        (True, True, True, "separate", None),  # packed rank-2, four-dot
+        (True, True, True, "combined", None),  # packed rank-2, one combined
         # block-diagonal selection dot at 3 exact bf16-split passes
+        # both u-dot lowerings on the production config (GPY_DLA_U_SPLIT):
+        (True, True, True, "combined", True),  # 3-pass bf16-split u dot
+        (True, True, True, "combined", False),  # 6-pass HIGHEST u dot
     ):
         got = np.asarray(
             batched_log_mvnpdf_pallas(
                 *args, A, pair_basis(args[2]), k,
                 interpret=True, extra=jnp.asarray(extra), chain_t=chain_t,
                 chain_r2=chain_r2, packed=packed, chain_dot=chain_dot,
+                u_split=u_split,
             )
         )
         np.testing.assert_allclose(
             got, ref, atol=5e-3 * np.mean(np.abs(ref)),
             err_msg=f"chain_t={chain_t} chain_r2={chain_r2} "
-                    f"packed={packed} chain_dot={chain_dot}",
+                    f"packed={packed} chain_dot={chain_dot} "
+                    f"u_split={u_split}",
         )
 
 
