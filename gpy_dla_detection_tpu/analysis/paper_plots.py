@@ -29,12 +29,18 @@ def _plt():
     return plt
 
 
-def save_figure(fname: str):
-    """Save the current figure as <fname>.pdf (reference:
-    make_plots.py uses save_figure from its helper module)."""
-    plt = _plt()
+def save_figure(fname: str, fig=None):
+    """Save ``fig`` (or the current pyplot figure) as <fname>.pdf
+    (reference: make_plots.py uses save_figure from its helper module).
+
+    The explicit ``fig`` form is for the unmanaged figures the
+    ``plotting`` helpers create when no axes are passed in — those never
+    become pyplot's current figure."""
     os.makedirs(path.dirname(fname) or ".", exist_ok=True)
-    plt.savefig(fname + ".pdf")
+    if fig is not None:
+        fig.savefig(fname + ".pdf")
+    else:
+        _plt().savefig(fname + ".pdf")
 
 
 def _plot_cddf(cat, zmin=1.0, zmax=6.0, label="GP", moment=False, twosigma=True):

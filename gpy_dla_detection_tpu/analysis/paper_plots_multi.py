@@ -132,11 +132,9 @@ def do_confusion(
     (reference: make_multi_dla_plots.py:321-345 do_confusion_parks)."""
     from ..plotting import plot_confusion
 
-    plt = _plt()
     os.makedirs(subdir, exist_ok=True)
-    plot_confusion(result.confusion, normalize=normalize)
-    save_figure(path.join(subdir, f"confusion_{label}"))
-    plt.clf()
+    ax = plot_confusion(result.confusion, normalize=normalize)
+    save_figure(path.join(subdir, f"confusion_{label}"), fig=ax.figure)
 
 
 # ---------------------------------------------------------------------------
@@ -329,10 +327,9 @@ def do_this_mu_examples(
     qso_loader.py:1654-1823 plot_this_mu)."""
     from ..plotting import plot_annotated_spectrum
 
-    plt = _plt()
     os.makedirs(subdir, exist_ok=True)
     for i, model in enumerate(models):
-        plot_annotated_spectrum(
+        ax = plot_annotated_spectrum(
             model,
             params,
             map_z_dlas=map_z_dlas[i],
@@ -341,8 +338,7 @@ def do_this_mu_examples(
                 truth_dlas if truth_dlas is not None else [None] * len(models)
             )[i],
         )
-        save_figure(path.join(subdir, f"this_mu_{i}"))
-        plt.clf()
+        save_figure(path.join(subdir, f"this_mu_{i}"), fig=ax.figure)
 
 
 def do_Lya_demo(

@@ -27,12 +27,29 @@ def _plt():
     return plt
 
 
+def _subplots(nrows: int = 1, ncols: int = 1, figsize=None, **kw):
+    """``plt.subplots`` on an UNMANAGED figure.
+
+    Figures created here never enter pyplot's figure registry, so batch
+    callers (surveys, test suites) can render hundreds of plots without
+    tripping matplotlib's open-figure cap or leaking memory — the figure
+    is garbage-collected when the caller drops it.  ``fig.savefig``
+    works as usual; in a notebook, display the returned figure (or
+    ``ax.figure``) as the cell value.  Callers that want pyplot
+    integration (``plt.show``) pass their own ``ax``.
+    """
+    from matplotlib.figure import Figure
+
+    fig = Figure(figsize=figsize)
+    axs = fig.subplots(nrows, ncols, **kw)
+    return fig, axs
+
+
 def plot_raw_spectrum(wavelengths, flux, z_qso, ax=None):
     """Observed spectrum with a rest-frame secondary axis
     (reference: plottings/plot_raw_spectrum.py:14-62)."""
-    plt = _plt()
     if ax is None:
-        _, ax = plt.subplots(figsize=(12, 4))
+        _, ax = _subplots(figsize=(12, 4))
     ax.plot(wavelengths, flux, lw=0.4, color="C0")
     ax.set_xlabel(r"observed wavelength [$\AA$]")
     ax.set_ylabel(r"flux [$10^{-17}$ erg s$^{-1}$ cm$^{-2}$ $\AA^{-1}$]")
@@ -59,8 +76,7 @@ def plot_dla_model(
     """Two-panel DLA inference plot: sample-likelihood scatter in
     (z_dla, logNHI) and the MAP-absorbed GP mean over the data
     (reference: plottings/plot_model.py:12-135)."""
-    plt = _plt()
-    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(14, 8))
+    fig, (ax1, ax2) = _subplots(2, 1, figsize=(14, 8))
 
     mask = np.asarray(model.mask)
     wavelengths = np.asarray(model.padded_wavelengths)[3:-3]
@@ -75,7 +91,7 @@ def plot_dla_model(
             s=4,
             cmap="viridis",
         )
-        plt.colorbar(sc, ax=ax1, label=r"$\log p(D\,|\,z_{DLA}, N_{HI})$")
+        fig.colorbar(sc, ax=ax1, label=r"$\log p(D\,|\,z_{DLA}, N_{HI})$")
     ax1.set_xlabel(r"$z_{DLA}$")
     ax1.set_ylabel(r"$\log N_{HI}$")
     ax1.set_title(title)
@@ -121,10 +137,9 @@ def plot_dla_model(
 def plot_corner(chain, labels=None, burn_in: int = 0, bins: int = 40):
     """Corner (pair) plot of an MCMC chain (num_steps, W, D)
     (reference: examples/plot_mcmc.py:42-59; corner-free)."""
-    plt = _plt()
     samples = np.asarray(chain)[burn_in:].reshape(-1, np.asarray(chain).shape[-1])
     D = samples.shape[1]
-    fig, axes = plt.subplots(D, D, figsize=(2.2 * D, 2.2 * D))
+    fig, axes = _subplots(D, D, figsize=(2.2 * D, 2.2 * D))
     axes = np.atleast_2d(axes)
     for i in range(D):
         for j in range(D):
@@ -153,7 +168,6 @@ def plot_sample_predictions(
 ):
     """Posterior draws of the absorbed GP mean over the data
     (reference: examples/plot_mcmc.py:60-78)."""
-    plt = _plt()
     rng = np.random.default_rng(seed)
     samples = np.asarray(chain)[burn_in:].reshape(-1, np.asarray(chain).shape[-1])
     k = samples.shape[1] // 2
@@ -161,7 +175,7 @@ def plot_sample_predictions(
 
     mask = np.asarray(model.mask)
     rest = (np.asarray(model.padded_wavelengths)[3:-3] / (1 + float(model.z_qso)))[mask]
-    fig, ax = plt.subplots(figsize=(14, 5))
+    fig, ax = _subplots(figsize=(14, 5))
     ax.plot(rest, np.asarray(model.y)[mask], lw=0.4, color="C0", label="observed")
     # one batched Voigt dispatch over all draws x absorbers (the kernel
     # is batched over the absorber axis precisely so callers don't loop)
@@ -189,9 +203,8 @@ def plot_sample_predictions(
 
 def plot_cddf(l_cent, cddf, cddf68, cddf95, xerrs, label="GP", ax=None):
     """CDDF with 68/95% intervals (reference: calc_cddf.py:684-707)."""
-    plt = _plt()
     if ax is None:
-        _, ax = plt.subplots()
+        _, ax = _subplots()
     ax.fill_between(10.0**l_cent, cddf95[:, 0], cddf95[:, 1], color="grey", alpha=0.5)
     yerr = (cddf - cddf68[:, 0], cddf68[:, 1] - cddf)
     ii = cddf68[:, 0] > 0
@@ -212,9 +225,8 @@ def plot_cddf(l_cent, cddf, cddf68, cddf95, xerrs, label="GP", ax=None):
 
 def plot_line_density(z_cent, dNdX, dndx68, dndx95, xerrs, label="GP", ax=None):
     """dN/dX(z) (reference: calc_cddf.py:727-738)."""
-    plt = _plt()
     if ax is None:
-        _, ax = plt.subplots()
+        _, ax = _subplots()
     ax.fill_between(z_cent, dndx95[:, 0], dndx95[:, 1], color="grey", alpha=0.5)
     ax.errorbar(
         z_cent,
@@ -231,9 +243,8 @@ def plot_line_density(z_cent, dNdX, dndx68, dndx95, xerrs, label="GP", ax=None):
 
 def plot_omega_dla(z_cent, omega, omega_err, label="GP", ax=None):
     """Omega_DLA(z) (reference: calc_cddf.py:882-901)."""
-    plt = _plt()
     if ax is None:
-        _, ax = plt.subplots()
+        _, ax = _subplots()
     ax.errorbar(z_cent, 1000 * omega, yerr=1000 * omega_err, fmt="o", label=label)
     ax.set_xlabel("z")
     ax.set_ylabel(r"$10^3 \times \Omega_\mathrm{DLA}$")
@@ -247,9 +258,8 @@ def plot_omega_dla(z_cent, omega, omega_err, label="GP", ax=None):
 def plot_roc(fpr, tpr, auc=None, label="GP", ax=None):
     """ROC curve of the p_dla classifier against a truth catalog
     (reference: qso_loader.py:618-718 make_ROC)."""
-    plt = _plt()
     if ax is None:
-        _, ax = plt.subplots()
+        _, ax = _subplots()
     lbl = f"{label} (AUC={auc:.3f})" if auc is not None else label
     ax.plot(fpr, tpr, label=lbl)
     ax.plot([0, 1], [0, 1], ls=":", color="k", lw=0.5)
@@ -262,13 +272,12 @@ def plot_roc(fpr, tpr, auc=None, label="GP", ax=None):
 def plot_confusion(confusion, ax=None, normalize=False):
     """Multi-DLA confusion matrix heatmap with annotated counts
     (reference: qso_loader.py:878-968 make_multi_confusion)."""
-    plt = _plt()
     if ax is None:
-        _, ax = plt.subplots()
+        _, ax = _subplots()
     conf = np.asarray(confusion, np.float64)
     shown = conf / conf.sum(axis=1, keepdims=True).clip(min=1) if normalize else conf
     im = ax.imshow(shown, cmap="Blues")
-    plt.colorbar(im, ax=ax)
+    ax.figure.colorbar(im, ax=ax)
     for i in range(conf.shape[0]):
         for j in range(conf.shape[1]):
             val = f"{shown[i, j]:.2f}" if normalize else f"{int(conf[i, j])}"
@@ -296,9 +305,8 @@ def plot_annotated_spectrum(
     :param truth_dlas: {catalog name: [(z_dla, log_nhi), ...]} — each
         catalog's absorbers are marked with labelled vertical lines.
     """
-    plt = _plt()
     if ax is None:
-        _, ax = plt.subplots(figsize=(14, 5))
+        _, ax = _subplots(figsize=(14, 5))
     mask = np.asarray(model.mask)
     z_qso = float(model.z_qso)
     wavelengths = np.asarray(model.padded_wavelengths)[3:-3]
@@ -367,9 +375,8 @@ def plot_mean_flux(
     """
     from .ops.optical_depth import mean_flux_suppression
 
-    plt = _plt()
     if ax is None:
-        _, ax = plt.subplots(figsize=(14, 5))
+        _, ax = _subplots(figsize=(14, 5))
     rest_wl = np.asarray(learned.rest_wavelengths)
     mu = np.array(learned.mu, np.float64)
     if suppressed:
@@ -400,9 +407,8 @@ def plot_mean_flux(
 def plot_cddf_external(l_cent, cddf, xerrs, label="Parks", ax=None, moment=False):
     """Point-estimate CDDF of an external catalog, for overplotting
     against the GP CDDF (reference: qso_loader.py:1192-1282)."""
-    plt = _plt()
     if ax is None:
-        _, ax = plt.subplots()
+        _, ax = _subplots()
     y = cddf * 10.0**l_cent if moment else cddf
     ii = y > 0
     ax.errorbar(
@@ -419,9 +425,8 @@ def plot_cddf_external(l_cent, cddf, xerrs, label="Parks", ax=None, moment=False
 def plot_line_density_external(z_cent, dNdX, xerrs, label="Parks", ax=None):
     """Point-estimate dN/dX of an external catalog
     (reference: qso_loader.py:1283-1356)."""
-    plt = _plt()
     if ax is None:
-        _, ax = plt.subplots()
+        _, ax = _subplots()
     ax.errorbar(z_cent, dNdX, xerr=xerrs, fmt="s", label=label, alpha=0.8)
     ax.set_xlabel("z")
     ax.set_ylabel("dN/dX")
@@ -440,9 +445,8 @@ def build_correlation_matrix(M):
 def plot_model_correlation(rest_wavelengths, M, ax=None):
     """Heatmap of the learned GP's pixel-pixel correlation structure
     (reference: qso_loader.py:32-73 GPLoader + its plotting use)."""
-    plt = _plt()
     if ax is None:
-        _, ax = plt.subplots(figsize=(7, 6))
+        _, ax = _subplots(figsize=(7, 6))
     rest_wavelengths = np.asarray(rest_wavelengths)
     C = build_correlation_matrix(M)
     extent = [
@@ -452,7 +456,7 @@ def plot_model_correlation(rest_wavelengths, M, ax=None):
         rest_wavelengths[0],
     ]
     im = ax.imshow(C, cmap="RdBu_r", vmin=-1, vmax=1, extent=extent)
-    plt.colorbar(im, ax=ax, label="correlation")
+    ax.figure.colorbar(im, ax=ax, label="correlation")
     ax.set_xlabel(r"rest wavelength [$\AA$]")
     ax.set_ylabel(r"rest wavelength [$\AA$]")
     return ax
@@ -464,9 +468,8 @@ def plot_model_correlation(rest_wavelengths, M, ax=None):
 # ---------------------------------------------------------------------------
 def plot_cddf_by_z(catalog, z_edges=(2.0, 2.5, 3.0, 4.0, 5.0), ax=None, **kw):
     """CDDF in redshift slices (reference: make_plots.py per-z panels)."""
-    plt = _plt()
     if ax is None:
-        _, ax = plt.subplots()
+        _, ax = _subplots()
     for z_lo, z_hi in zip(z_edges[:-1], z_edges[1:]):
         l_cent, cddf, cddf68, cddf95, xerrs = catalog.column_density_function(
             z_min=z_lo, z_max=z_hi, **kw
@@ -494,9 +497,8 @@ def plot_cddf_by_z(catalog, z_edges=(2.0, 2.5, 3.0, 4.0, 5.0), ax=None, **kw):
 def plot_cddf_by_snr(catalog, snr_threshs=(-2.0, 2.0, 4.0), ax=None, **kw):
     """CDDF under successive SNR cuts
     (reference: make_plots.py snr-split panels)."""
-    plt = _plt()
     if ax is None:
-        _, ax = plt.subplots()
+        _, ax = _subplots()
     prev = catalog.snr_thresh
     try:
         for thresh in snr_threshs:
@@ -520,9 +522,8 @@ def plot_cddf_by_snr(catalog, snr_threshs=(-2.0, 2.0, 4.0), ax=None, **kw):
 def plot_dndx_sample_errors(catalog, z_min=2.0, z_max=5.0, nsample=5, rng=0, ax=None):
     """dN/dX with bootstrap-resampled error bands
     (reference: calc_cddf.py:345-360)."""
-    plt = _plt()
     if ax is None:
-        _, ax = plt.subplots()
+        _, ax = _subplots()
     errs = catalog.get_sample_errors(z_min=z_min, z_max=z_max, nsample=nsample, rng=rng)
     z_cent, dNdX, dndx68, _, xerrs = catalog.line_density(z_min=z_min, z_max=z_max)
     ax.errorbar(
@@ -550,9 +551,8 @@ def plot_dndx_sample_errors(catalog, z_min=2.0, z_max=5.0, nsample=5, rng=0, ax=
 def plot_omega_sample_errors(catalog, z_min=2.0, z_max=5.0, nsample=5, rng=0, ax=None):
     """Omega_DLA with bootstrap-resampled error bands
     (reference: calc_cddf.py:361-378)."""
-    plt = _plt()
     if ax is None:
-        _, ax = plt.subplots()
+        _, ax = _subplots()
     errs = catalog.get_sample_errors(z_min=z_min, z_max=z_max, nsample=nsample, rng=rng)
     z_cent, omega, omega68, _, xerrs = catalog.omega_dla_cddf(z_min=z_min, z_max=z_max)
     ax.errorbar(
