@@ -65,15 +65,6 @@ FUSED_ABS: bool = os.environ.get("GPY_DLA_FUSED_ABS", "1") == "1"
 # GPY_DLA_FUSED_POLY=0 restores the Weideman/CF blend in-kernel.
 FUSED_POLY: bool = os.environ.get("GPY_DLA_FUSED_POLY", "1") == "1"
 
-# In-kernel two-tier window evaluation for the fused kernel: measured
-# SLOWER than the full-window blend (206.6 vs 219.0 spectra/s/chip) —
-# in VMEM the flops the tier saves are cheaper than its 32-lane masked
-# extraction/placement ops, the opposite economics of the XLA tier
-# (WINDOW_TIER above), where every fusion is an HBM round trip.
-# Kept as an opt-in for re-measurement on future hardware.
-FUSED_TIER: bool = os.environ.get("GPY_DLA_FUSED_TIER", "0") == "1"
-
-
 def largest_aligned_divisor(s: int, budget: int, align: int = 8):
     """Largest multiple of ``align`` <= ``budget`` that divides ``s``,
     or None when no such divisor exists (callers then pad to their

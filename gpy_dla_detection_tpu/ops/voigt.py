@@ -181,26 +181,18 @@ def _line_center_estimates(wl_chunks, lam_c_all):
 
 
 def window_chunk_starts(wavelengths, z_absorber, num_lines):
-    """Chunk-aligned window start + tier-strip block per (sample, line)
-    for the fused absorption kernel
-    (ops/voigt_pallas.absorption_all_pallas): pads the grid and runs
-    the fast line-center estimate.
+    """Chunk-aligned window start per (sample, line) for the fused
+    absorption kernel (ops/voigt_pallas.absorption_all_pallas): pads
+    the grid and runs the fast line-center estimate.
 
-    :return: (wl_pad (P_pad,), c0 (S, num_lines) int32,
-        b_strip (S, num_lines) int32 — first 32-px block of the 96-px
-        expensive-evaluation strip within the 256-px window, clipped so
-        the strip stays inside the window)."""
+    :return: (wl_pad (P_pad,), c0 (S, num_lines) int32)."""
     dtype = wavelengths.dtype
     wl_pad = chunk_pad_wavelengths(wavelengths)
     nc = wl_pad.shape[0] // CHUNK
     lam = jnp.asarray(C.LYMAN_WAVELENGTHS_A[:num_lines], dtype)
     lam_c_all = (1.0 + z_absorber)[:, None] * lam  # (S, L)
-    center, c0 = _line_center_estimates(
-        wl_pad.reshape(nc, CHUNK), lam_c_all
-    )
-    lc_local = center - c0 * CHUNK  # estimated center within the window
-    b_strip = jnp.clip(lc_local // 32 - 1, 0, FAST_WINDOW // 32 - 3)
-    return wl_pad, c0, b_strip
+    _, c0 = _line_center_estimates(wl_pad.reshape(nc, CHUNK), lam_c_all)
+    return wl_pad, c0
 
 
 def _windowed_tau_parts(wavelengths, z_absorber, num_lines, sigma):
@@ -529,13 +521,16 @@ def absorption_from_unit_tau(
         the profile array.
     """
     nhi = jnp.asarray(nhi)
-    from .kernel_config import on_tpu
+    from .kernel_config import on_tpu, pallas_eligible
 
+    # pallas_eligible (not just f32): globally-enabled x64 puts Mosaic
+    # in the i64 index mode it rejects, so an x64 session driving the
+    # TPU at pipeline dtype f32 must take the XLA tail
     if isinstance(unit_tau, WindowedTauParts):
         if (
             broadening
             and on_tpu(unit_tau.far)
-            and jnp.result_type(unit_tau.far) == jnp.float32
+            and pallas_eligible(unit_tau.far)
             and unit_tau.far.ndim == 2
             and nhi.ndim == 1
         ):
@@ -548,7 +543,7 @@ def absorption_from_unit_tau(
     if (
         broadening
         and on_tpu(unit_tau)
-        and jnp.result_type(unit_tau) == jnp.float32
+        and pallas_eligible(unit_tau)
         and unit_tau.ndim == 2
         and nhi.ndim == 1
     ):

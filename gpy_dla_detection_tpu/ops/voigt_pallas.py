@@ -336,10 +336,10 @@ def _window_poly_coeffs(y: float, u0: float = 9.0,
 
     Measured f32 accuracy ~1e-6 relative across the whole window for
     the three production y_l (scan in PERFORMANCE.md round 4); the
-    reference values come from scipy's f64 ``wofz`` at import time, so
-    the fit is independent of jax's x64 state.
+    reference values come from scipy's f64 ``wofz`` at kernel TRACE
+    time (lru-cached per ``y``), so the fit is independent of jax's
+    x64 state.
     """
-    import numpy as np
     from scipy.special import wofz
 
     from .voigt import CF_FAR_RADIUS
@@ -375,7 +375,6 @@ def _abs_all_kernel(
     num_lines,
     sigma,
     P,
-    tier,
     lls_break,
     poly,
 ):
@@ -484,62 +483,6 @@ def _abs_all_kernel(
             corr = amp * jnp.where(
                 in_win, jnp.where(u <= u0, disk, wing), 0.0
             )
-        elif tier:
-            # Two-tier window evaluation (the in-kernel mirror of
-            # ops/voigt._windowed_tau_parts's WINDOW_TIER branch): the
-            # 20-term Weideman Horner + full-K CF run only on a 96-px
-            # strip of three 32-px blocks around the line-center
-            # estimate; the rest of the window uses the 2-term CF
-            # (relative truncation error ~1.6e-7 at |z| = 20 and
-            # falling as |z|^-4 — tier-2 pixels sit beyond |z| ~ 59).
-            # Extraction/placement use the same select-sum /
-            # repeat-mask pattern as the window itself, one 32-px
-            # block granularity down.
-            SB = 32
-            nb = WINDOW // SB
-            bs = c0_ref[:, num_lines + l : num_lines + l + 1]  # (BS, 1)
-            ax_s = []
-            for off in range(3):
-                s = jnp.zeros((BS, SB), dtype)
-                for b in range(nb):
-                    s = s + jnp.where(
-                        bs + off == b, ax[:, SB * b : SB * b + SB], 0.0
-                    )
-                ax_s.append(s)
-            ax_strip = jnp.concatenate(ax_s, axis=1)  # (BS, 3 SB)
-            y_strip = jnp.full_like(ax_strip, y_l)
-            r2_s = ax_strip * ax_strip + y_l * y_l
-            inner_s = r2_s <= RADIUS * RADIUS
-            ann_s = (~inner_s) & (r2_s <= CF_FAR_RADIUS * CF_FAR_RADIUS)
-            wei_s, _ = _wofz_weideman(
-                jnp.where(inner_s, ax_strip, 0.0), y_strip
-            )
-            cf_s, _ = _wofz_cf(ax_strip, y_strip)  # full K
-            sval = jnp.where(inner_s, wei_s, 0.0) + jnp.where(
-                ann_s, cf_s, 0.0
-            )  # (BS, 3 SB)
-            cf2, _ = _wofz_cf(ax, y_win, terms=2)
-            lane_block = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1) // SB
-            )
-            placed = jnp.zeros((BS, WINDOW), dtype)
-            for off in range(3):
-                rep = pltpu.repeat(
-                    sval[:, SB * off : SB * off + SB], nb, axis=1
-                )
-                placed = placed + jnp.where(lane_block == bs + off, rep, 0.0)
-            in_strip = (lane_block >= bs) & (lane_block <= bs + 2)
-            # exclude the |z| <= RADIUS Weideman disk from the mid
-            # tier: gross line-center misplacement then degrades like
-            # a missing correction instead of injecting in-disk
-            # 2-term-CF garbage (negative tau) — same guard as the
-            # XLA tier path
-            mid = (
-                (~in_strip)
-                & (r2 <= CF_FAR_RADIUS * CF_FAR_RADIUS)
-                & (r2 > RADIUS * RADIUS)
-            )
-            corr = amp * (placed + jnp.where(mid, cf2, 0.0))
         else:
             inner = r2 <= RADIUS * RADIUS
             annulus = (~inner) & (r2 <= CF_FAR_RADIUS * CF_FAR_RADIUS)
@@ -570,7 +513,7 @@ def _abs_all_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_lines", "num_pixels", "interpret", "out_dtype", "tier",
+        "num_lines", "num_pixels", "interpret", "out_dtype",
         "lls_break", "poly",
     ),
 )
@@ -583,7 +526,6 @@ def _absorption_all_pallas(
     num_pixels: int,
     interpret: bool = False,
     out_dtype=None,
-    tier: bool = True,
     lls_break: bool = False,
     poly: bool = False,
 ):
@@ -594,8 +536,7 @@ def _absorption_all_pallas(
     P_pad = wl_pad.shape[0]
     S = z_absorber.shape[0]
     F = len(nhis)
-    # c0 carries [window start chunk | tier strip block] per line
-    assert P_pad % 128 == 0 and c0.shape == (S, 2 * num_lines)
+    assert P_pad % 128 == 0 and c0.shape == (S, num_lines)
 
     block_s = largest_aligned_divisor(S, 512) or 512
     n_blocks = -(-S // block_s)
@@ -615,13 +556,13 @@ def _absorption_all_pallas(
     outs = pl.pallas_call(
         functools.partial(
             _abs_all_kernel, taps=taps, width=width, num_lines=num_lines,
-            sigma=sigma, P=P, tier=tier, lls_break=lls_break, poly=poly,
+            sigma=sigma, P=P, lls_break=lls_break, poly=poly,
         ),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, P_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_s, 1), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_s, 2 * num_lines), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, num_lines), row, memory_space=pltpu.VMEM),
         ]
         + [
             pl.BlockSpec((block_s, 1), row, memory_space=pltpu.VMEM)
@@ -650,7 +591,6 @@ def absorption_all_pallas(
     num_lines: int = 3,
     interpret: bool = False,
     out_dtype=None,
-    tier: bool | None = None,
     lls_break: bool = False,
     poly: bool | None = None,
 ):
@@ -662,37 +602,34 @@ def absorption_all_pallas(
     composition on the hot path (same math as the non-tier windowed
     XLA formulation; parity pinned by tests/test_voigt.py).
 
+    The in-kernel two-tier window evaluation that shipped in round 4
+    (GPY_DLA_FUSED_TIER) was measured SLOWER than the full-window blend
+    (206.6 vs 219.0 spectra/s/chip — in VMEM the flops the tier saves
+    are cheaper than its 32-lane masked extraction/placement ops, the
+    opposite economics of the XLA WINDOW_TIER, where every fusion is an
+    HBM round trip) and was removed in round 5; PERFORMANCE.md keeps
+    the measurement.
+
     :param nhis: tuple of (S,) column-density arrays (e.g. the DLA and
         subDLA sample sets, which share their z offsets —
         reference: multi_dlas/set_lls_parameters.m:22,59).
     :return: tuple of (S, P - 6) profiles, one per family.
     """
-    from .kernel_config import FUSED_POLY, FUSED_TIER
+    from .kernel_config import FUSED_POLY
     from .voigt import window_chunk_starts
 
     if poly is None:
         poly = FUSED_POLY
-    if tier is None:
-        # NOT WINDOW_TIER: the XLA tier wins because each XLA fusion is
-        # an HBM round trip; in VMEM the full-window Weideman/CF is
-        # measured FASTER than the strip machinery (219.0 vs 206.6
-        # spectra/s/chip end to end) — the 32-lane masked
-        # extraction/placement ops waste vector lanes while flops are
-        # cheap.  GPY_DLA_FUSED_TIER=1 re-enables for experiments.
-        tier = FUSED_TIER
-    wl_pad, c0, b_strip = window_chunk_starts(
-        wavelengths, z_absorber, num_lines
-    )
+    wl_pad, c0 = window_chunk_starts(wavelengths, z_absorber, num_lines)
     return _absorption_all_pallas(
         wl_pad,
         z_absorber,
-        jnp.concatenate([c0, b_strip], axis=1),
+        c0,
         tuple(nhis),
         num_lines=num_lines,
         num_pixels=wavelengths.shape[0],
         interpret=interpret,
         out_dtype=out_dtype,
-        tier=tier,
         lls_break=lls_break,
         poly=poly,
     )

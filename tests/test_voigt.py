@@ -340,16 +340,14 @@ def test_windowed_parts_and_placement_kernel():
 
 
 @pytest.mark.parametrize(
-    "tier,poly", [(False, False), (True, False), (False, True)]
+    "wtier,poly", [(False, False), (True, False), (False, True)]
 )
-def test_absorption_all_pallas_matches_windowed(monkeypatch, tier, poly):
+def test_absorption_all_pallas_matches_windowed(monkeypatch, wtier, poly):
     """The fully fused absorption kernel (far field + windows +
     placement + exp + broadening + encode in one pallas_call, interpret
     mode) matches the dense windowed path for every family, on both a
-    regular and a ±30% jittered log grid, with the in-kernel two-tier
-    window evaluation both off (full-K CF + Weideman over the whole
-    window — the non-tier XLA blend) and on (96-px strip + 2-term CF —
-    the WINDOW_TIER XLA branch).
+    regular and a ±30% jittered log grid, with the XLA oracle's
+    two-tier window evaluation (WINDOW_TIER) both off and on.
 
     Tolerances: at pixels 1-2 px from a line core the f32 Weideman
     evaluation computes a ~1e-13-scale w from O(1) intermediates —
@@ -363,7 +361,7 @@ def test_absorption_all_pallas_matches_windowed(monkeypatch, tier, poly):
     truth-anchored bound tightens to "at least as accurate"."""
     import gpy_dla_detection_tpu.ops.voigt as V
 
-    monkeypatch.setattr(V, "WINDOW_TIER", tier)
+    monkeypatch.setattr(V, "WINDOW_TIER", wtier)
     import jax.numpy as jnp
 
     from gpy_dla_detection_tpu import constants as C
@@ -399,8 +397,7 @@ def test_absorption_all_pallas_matches_windowed(monkeypatch, tier, poly):
             C.THERMAL_SIGMA_CGS,
         )
         got = absorption_all_pallas(
-            wl, z, (nhi_dla, nhi_sub), 3, interpret=True, tier=tier,
-            poly=poly,
+            wl, z, (nhi_dla, nhi_sub), 3, interpret=True, poly=poly
         )
         for g, n in zip(got, (nhi_dla, nhi_sub)):
             want = instrumental_broadening(jnp.exp(-n[:, None] * dense))
@@ -424,10 +421,10 @@ def test_absorption_all_pallas_matches_windowed(monkeypatch, tier, poly):
         # fixed-point encode of the kernel's own f32 output (the
         # storage format is independent of which kernel produced it)
         gf = absorption_all_pallas(
-            wl, z, (nhi_dla,), 3, interpret=True, tier=tier, poly=poly
+            wl, z, (nhi_dla,), 3, interpret=True, poly=poly
         )[0]
         got_p = absorption_all_pallas(
-            wl, z, (nhi_dla,), 3, interpret=True, tier=tier, poly=poly,
+            wl, z, (nhi_dla,), 3, interpret=True, poly=poly,
             out_dtype=jnp.int32,
         )[0]
         codes = np.round(np.asarray(gf) * 32767.0).astype(np.int32)
@@ -465,7 +462,7 @@ def test_absorption_all_pallas_lls_break(monkeypatch):
     # test above)
     want = voigt_absorption_lls(wl, nhi, z, 3, impl="exact")
     got = absorption_all_pallas(
-        wl, z, (nhi,), 3, interpret=True, tier=False, lls_break=True
+        wl, z, (nhi,), 3, interpret=True, lls_break=True
     )[0]
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=0, atol=2.5e-3
