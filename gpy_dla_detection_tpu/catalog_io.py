@@ -36,15 +36,6 @@ def results_to_arrays(
         "log_posteriors_dla": np.stack(
             [r.selection.log_posteriors[-max_dlas:] for r in results]
         ),
-        "sample_log_likelihoods_dla": np.stack(
-            [r.sample_log_likelihoods_dla for r in results]
-        ),
-        "sample_log_likelihoods_lls": np.stack(
-            [r.sample_log_likelihoods_subdla for r in results]
-        ),
-        "base_sample_inds": np.stack(
-            [r.base_sample_inds.T for r in results]
-        ).astype(np.int32),
         "MAP_z_dlas": np.stack([r.map_z_dlas for r in results]),
         "MAP_log_nhis": np.stack([r.map_log_nhis for r in results]),
         "model_posteriors": np.stack(
@@ -53,7 +44,20 @@ def results_to_arrays(
         "p_dlas": np.array([r.p_dla for r in results]),
         "p_no_dlas": np.array([r.p_no_dla for r in results]),
     }
-    assert out["sample_log_likelihoods_dla"].shape == (n, S, max_dlas)
+    if results[0].sample_log_likelihoods_dla is not None:
+        # omitted entirely in catalog-lite runs (dispatch_batch
+        # with_sample_lls=False); the reference driver always writes
+        # them (reference: run_bayes_select.py:266-295)
+        out["sample_log_likelihoods_dla"] = np.stack(
+            [r.sample_log_likelihoods_dla for r in results]
+        )
+        out["sample_log_likelihoods_lls"] = np.stack(
+            [r.sample_log_likelihoods_subdla for r in results]
+        )
+        out["base_sample_inds"] = np.stack(
+            [r.base_sample_inds.T for r in results]
+        ).astype(np.int32)
+        assert out["sample_log_likelihoods_dla"].shape == (n, S, max_dlas)
     return out
 
 

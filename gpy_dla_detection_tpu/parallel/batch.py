@@ -389,6 +389,14 @@ class TransportBatch(NamedTuple):
     ~10.2 MB -> ~5.2 MB per 32-spectrum batch.  ``finalize_batch``
     decodes back to f32/int32 numpy; evidences, MAP chains and
     model posteriors are bit-identical to the raw transport.
+
+    Sentinel semantics: NaN (invalid sample) round-trips exactly, but a
+    ``-inf`` log-likelihood decodes as the finite floor ``max - 60000``
+    (the f16 clamp).  ``exp(ll - max)`` — the only way the pipeline and
+    the CDDF analysis consume these arrays — is 0.0 either way; only a
+    consumer that tests ``ll == -inf`` on the raw catalog arrays would
+    see the difference (nothing in this repo or the reference's
+    analysis does — reference: CDDF_analysis/calc_cddf.py:407-476).
     """
 
     log_evidence_null: jnp.ndarray  # (B,)
@@ -403,8 +411,10 @@ class TransportBatch(NamedTuple):
     map_log_nhis: jnp.ndarray  # (B, K, K)
 
 
-@jax.jit
-def _pack_transport(out: EvidenceOutputs) -> TransportBatch:
+@functools.partial(jax.jit, static_argnames=("with_sample_lls",))
+def _pack_transport(
+    out: EvidenceOutputs, with_sample_lls: bool = True
+) -> TransportBatch:
     def pack_sll(sll):
         m = jnp.nanmax(sll, axis=1, keepdims=True)  # (B, 1, K)
         m = jnp.where(jnp.isfinite(m), m, jnp.zeros_like(m))
@@ -412,6 +422,25 @@ def _pack_transport(out: EvidenceOutputs) -> TransportBatch:
         # (f16 min normal magnitude bound 65504); NaN passes through
         centered = jnp.clip(sll - m, -60000.0, 0.0)
         return centered.astype(jnp.float16), m[:, 0, :].astype(jnp.float32)
+
+    if not with_sample_lls:
+        # catalog-lite: the per-sample arrays never leave the device
+        # (the ~160 KB/spectrum they cost is the survey driver's D2H
+        # ceiling on a tunneled TPU); evidences/MAPs/posteriors are
+        # untouched.  Zero-width placeholders keep the pytree structure.
+        B, K = out.dla.log_evidences.shape
+        return TransportBatch(
+            log_evidence_null=out.log_evidence_null,
+            dla_log_evidences=out.dla.log_evidences,
+            sub_log_evidences=out.subdla.log_evidences,
+            dla_sll_centered=jnp.zeros((B, 0, K), jnp.float16),
+            dla_sll_max=jnp.zeros((B, K), jnp.float32),
+            sub_sll_centered=jnp.zeros((B, 0, 1), jnp.float16),
+            sub_sll_max=jnp.zeros((B, 1), jnp.float32),
+            base_sample_inds=jnp.zeros((B, K - 1, 0), jnp.uint16),
+            map_z_dlas=out.dla.map_z_dlas,
+            map_log_nhis=out.dla.map_log_nhis,
+        )
 
     dla_c, dla_m = pack_sll(out.dla.sample_log_likelihoods)
     sub_c, sub_m = pack_sll(out.subdla.sample_log_likelihoods)
@@ -442,6 +471,7 @@ def dispatch_batch(
     use_pallas=None,
     voigt_impl=None,
     compact: bool | None = None,
+    with_sample_lls: bool = True,
 ) -> EvidenceOutputs | TransportBatch:
     """Enqueue one batch's evidence computation and return the device
     outputs WITHOUT materializing them — jax dispatch is asynchronous,
@@ -453,7 +483,14 @@ def dispatch_batch(
     :param compact: pack the outputs for the readback (TransportBatch —
         halves the D2H bytes of the tunnel-bound survey driver).  None
         = auto: on for the f32 production pipeline when the sample
-        count fits uint16, off for f64 conformance runs."""
+        count fits uint16, off for f64 conformance runs.
+    :param with_sample_lls: False = catalog-lite — the per-sample
+        log-likelihood arrays and resampling indices never leave the
+        device (evidences, MAPs and model posteriors are unaffected);
+        the written catalog then omits ``sample_log_likelihoods_*`` and
+        ``base_sample_inds``.  For surveys that don't feed the CDDF
+        analysis (which needs those arrays —
+        reference: CDDF_analysis/calc_cddf.py:407-476)."""
     B = len(spectra)
     n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     n_pad = (-B) % n_dev
@@ -474,10 +511,21 @@ def dispatch_batch(
         use_pallas=use_pallas,
         voigt_impl=voigt_impl,
     )
+    if not with_sample_lls:
+        # lite mode drops the only dtype-sensitive arrays, so it packs
+        # regardless of pipeline dtype or sample count
+        return _pack_transport(out, with_sample_lls=False)
     if compact is None:
         compact = (
             jnp.result_type(out.log_evidence_null) == jnp.float32
             and params.num_dla_samples <= 65535
+        )
+    elif compact and params.num_dla_samples > 65535:
+        # forced compact would silently wrap the uint16 resampling
+        # indices and corrupt the catalog
+        raise ValueError(
+            "compact transport stores resampling indices as uint16; "
+            f"num_dla_samples={params.num_dla_samples} > 65535 does not fit"
         )
     return _pack_transport(out) if compact else out
 
@@ -506,14 +554,19 @@ def finalize_batch(
         null_ev = np.asarray(out.log_evidence_null)
         dla_ev = np.asarray(out.dla_log_evidences)
         sub_ev = np.asarray(out.sub_log_evidences)
-        # decode the compact transport (see TransportBatch)
-        dla_sll = np.asarray(out.dla_sll_centered, np.float32) + np.asarray(
-            out.dla_sll_max
-        )[:, None, :]
-        sub_sll = np.asarray(out.sub_sll_centered, np.float32) + np.asarray(
-            out.sub_sll_max
-        )[:, None, :]
-        base_inds = np.asarray(out.base_sample_inds, np.int32)
+        if out.dla_sll_centered.shape[1] == 0:
+            # catalog-lite transport (dispatch_batch with_sample_lls=
+            # False): the per-sample arrays never left the device
+            dla_sll = sub_sll = base_inds = None
+        else:
+            # decode the compact transport (see TransportBatch)
+            dla_sll = np.asarray(
+                out.dla_sll_centered, np.float32
+            ) + np.asarray(out.dla_sll_max)[:, None, :]
+            sub_sll = np.asarray(
+                out.sub_sll_centered, np.float32
+            ) + np.asarray(out.sub_sll_max)[:, None, :]
+            base_inds = np.asarray(out.base_sample_inds, np.int32)
         map_z = np.asarray(out.map_z_dlas)
         map_lognhi = np.asarray(out.map_log_nhis)
     else:
@@ -541,9 +594,15 @@ def finalize_batch(
                 log_evidence_null=float(null_ev[i]),
                 log_evidences_dla=dla_ev[i],
                 log_evidence_subdla=float(sub_ev[i][0]),
-                sample_log_likelihoods_dla=dla_sll[i],
-                sample_log_likelihoods_subdla=sub_sll[i, :, 0],
-                base_sample_inds=base_inds[i],
+                sample_log_likelihoods_dla=(
+                    dla_sll[i] if dla_sll is not None else None
+                ),
+                sample_log_likelihoods_subdla=(
+                    sub_sll[i, :, 0] if sub_sll is not None else None
+                ),
+                base_sample_inds=(
+                    base_inds[i] if base_inds is not None else None
+                ),
                 map_z_dlas=map_z[i],
                 map_log_nhis=map_lognhi[i],
                 min_z_dla=float(spectra[i].min_z_dla),

@@ -82,6 +82,16 @@ def main(argv=None):
         help=argparse.SUPPRESS,  # legacy alias: any N>0 behaves as --checkpoint
     )
     parser.add_argument(
+        "--no-sample-lls",
+        action="store_true",
+        help="catalog-lite: omit the per-sample log-likelihood arrays "
+        "and resampling indices from the readback and the catalog "
+        "(~160 KB/spectrum -> ~3 KB; evidences/MAPs/posteriors are "
+        "unaffected).  Use for surveys that don't feed the CDDF "
+        "analysis; the default stays faithful to the reference catalog "
+        "(reference: run_bayes_select.py:266-295)",
+    )
+    parser.add_argument(
         "--inflight",
         type=int,
         default=3,
@@ -90,6 +100,11 @@ def main(argv=None):
         "latency spikes at the cost of device memory)",
     )
     args = parser.parse_args(argv)
+    if args.no_sample_lls and args.plot_figures:
+        parser.error(
+            "--plot-figures needs the per-sample likelihoods that "
+            "--no-sample-lls omits"
+        )
 
     import jax
     import jax.numpy as jnp
@@ -357,6 +372,7 @@ def main(argv=None):
             args.max_dlas,
             mesh=mesh,
             dtype=dtype,
+            with_sample_lls=not args.no_sample_lls,
         )
         inflight.append(
             (

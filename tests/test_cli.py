@@ -377,3 +377,53 @@ def test_run_bayes_select_systematic_resampler(tmp_path, monkeypatch):
         assert f["p_dlas"][0] > 0.5, f["p_dlas"][()]
         row = f["base_sample_inds"][()][0, :, 0]
         assert int(np.sum(np.diff(row.astype(np.int64)) < 0)) <= 1
+
+
+def test_run_bayes_select_no_sample_lls(tmp_path, monkeypatch):
+    """--no-sample-lls (catalog-lite): same evidences/posteriors as a
+    faithful run, per-sample datasets absent from the catalog."""
+    import h5py
+
+    from gpy_dla_detection_tpu import run_bayes_select
+
+    params = Parameters(num_dla_samples=60)
+    learned = synthetic_learned_model(params)
+
+    files, zs = [], [2.9, 3.15]
+    for i, z in enumerate(zs):
+        wl, fx, nv, pm = synthetic_observation(
+            params, learned, z, seed=i, dlas=[(z - 0.3, 21.2)] if i else None
+        )
+        path = str(tmp_path / f"spec-0001-55555-{i:04d}.fits")
+        _write_speclite(
+            path,
+            fx.astype(np.float32),
+            np.log10(wl).astype(np.float32),
+            (1.0 / nv).astype(np.float32),
+            np.where(pm, 1 << 24, 0).astype(np.int32),
+        )
+        files.append(path)
+
+    monkeypatch.chdir(tmp_path)
+    base = [
+        "--qso_list", *files,
+        "--z_qso_list", *[str(z) for z in zs],
+        "--max_dlas", "2",
+        "--num-samples", "60",
+    ]
+    run_bayes_select.main(base + ["--output", str(tmp_path / "full.h5")])
+    run_bayes_select.main(
+        base + ["--output", str(tmp_path / "lite.h5"), "--no-sample-lls"]
+    )
+
+    with h5py.File(str(tmp_path / "full.h5")) as ff, h5py.File(
+        str(tmp_path / "lite.h5")
+    ) as fl:
+        assert "sample_log_likelihoods_dla" in ff
+        assert "sample_log_likelihoods_dla" not in fl
+        assert "base_sample_inds" not in fl
+        for name in (
+            "p_dlas", "model_posteriors", "MAP_z_dlas", "MAP_log_nhis",
+            "log_likelihoods_dla", "log_likelihoods_no_dla",
+        ):
+            np.testing.assert_array_equal(ff[name][()], fl[name][()])

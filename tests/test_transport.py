@@ -104,3 +104,64 @@ def test_compact_auto_resolution():
         dtype=jnp.float64,
     )
     assert not isinstance(out64, TransportBatch)
+
+
+def test_catalog_lite_transport(tmp_path):
+    """with_sample_lls=False: evidences/MAPs/posteriors bit-identical to
+    the full transport, per-sample arrays dropped end to end (None in
+    SpectrumResult, absent from the written catalog)."""
+    import h5py
+
+    from gpy_dla_detection_tpu.catalog_io import write_catalog
+    from gpy_dla_detection_tpu.parallel.batch import TransportBatch
+
+    params = Parameters(num_dla_samples=300)
+    learned = synthetic_learned_model(params)
+    prior = synthetic_prior_catalog(params)
+    dla_s = generate_dla_samples(params)
+    sub_s = generate_subdla_samples(params)
+    spectra = [
+        astype(
+            synthetic_spectrum(
+                params, learned, z, seed=i, dlas=[(z - 0.3, 21.2)] if i % 2 else None
+            ),
+            np.float32,
+        )
+        for i, z in enumerate([2.9, 3.2])
+    ]
+    key = jax.random.PRNGKey(5)
+
+    full = dispatch_batch(
+        learned, spectra, dla_s, sub_s, params, key, 3, dtype=jnp.float32,
+    )
+    lite = dispatch_batch(
+        learned, spectra, dla_s, sub_s, params, key, 3, dtype=jnp.float32,
+        with_sample_lls=False,
+    )
+    assert isinstance(lite, TransportBatch)
+    assert lite.dla_sll_centered.shape[1] == 0
+    # the lite payload is tiny: no (S,)-sized leaf survives
+    assert all(
+        np.prod(np.asarray(leaf).shape) < 100 for leaf in jax.tree.leaves(lite)
+    )
+    r_full = finalize_batch(full, spectra, sub_s, prior, 3)
+    r_lite = finalize_batch(lite, spectra, sub_s, prior, 3)
+    for a, b in zip(r_full, r_lite):
+        assert a.log_evidence_null == b.log_evidence_null
+        np.testing.assert_array_equal(a.log_evidences_dla, b.log_evidences_dla)
+        np.testing.assert_array_equal(a.map_z_dlas, b.map_z_dlas)
+        np.testing.assert_array_equal(a.map_log_nhis, b.map_log_nhis)
+        assert a.p_dla == b.p_dla
+        assert b.sample_log_likelihoods_dla is None
+        assert b.sample_log_likelihoods_subdla is None
+        assert b.base_sample_inds is None
+
+    out = str(tmp_path / "lite.h5")
+    write_catalog(out, r_lite, params, 3, [2.9, 3.2], ["a", "b"])
+    with h5py.File(out) as f:
+        assert "sample_log_likelihoods_dla" not in f
+        assert "base_sample_inds" not in f
+        assert f["p_dlas"].shape == (2,)
+        np.testing.assert_allclose(
+            f["p_dlas"][:], [r.p_dla for r in r_lite]
+        )
