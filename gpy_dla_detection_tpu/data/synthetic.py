@@ -85,6 +85,7 @@ def synthetic_observation(
     dlas: list[tuple[float, float]] | None = None,
     masked_fraction: float = 0.01,
     with_lls_break: bool = False,
+    with_omega_noise: bool = False,
 ):
     """Draw one observed spectrum from the learned GP's generative model.
 
@@ -93,6 +94,15 @@ def synthetic_observation(
         break opacity (reference: voigt_lls.py:254-284) so the
         LLS-finder accuracy gates can inject the 17.2 < logNHI < 20
         regime its search targets.
+    :param with_omega_noise: also draw the model's diagonal
+        absorption-noise term omega * (1 - exp(-tau) + c_0) * a — the
+        Omega block of y ~ N(mu a, A(MM' + Omega)A + V) (reference:
+        null_gp.py:185,236) that the default draw omits.  With it, the
+        training rebuild's recovered omega/tau_0/beta are identifiable
+        (scripts/train_fullscale.py); without it the synthetic spectra
+        carry no stochastic forest and those parameters collapse.
+        Default off: the inference gates and golden artifacts predate
+        this flag and stay bit-stable.
     :return: (wavelengths, flux, noise_variance, pixel_mask) in the
         convention of the reference's ``read_spec``
         (reference: read_spec.py:22-71).
@@ -139,6 +149,32 @@ def synthetic_observation(
         )
         tau += np.where(z_i <= z_qso, scale * (1.0 + z_i) ** float(learned.prev_beta), 0.0)
     flux = flux * np.exp(-tau)
+
+    if with_omega_noise:
+        # noise std per the model's Omega block: omega * s * a with
+        # s = 1 - exp(-tau_eff) + c_0, tau_eff built from the LEARNED
+        # tau_0/beta (the parameters training recovers), a = exp(-tau)
+        # the mean-flux factor already applied to the flux above
+        # (reference: null_gp.py:204-242, learn_qso_model_meanflux.m:2-6)
+        omega = np.interp(rest, learned.rest_wavelengths, np.exp(learned.log_omega))
+        omega[outside] = 0.0
+        tau_eff = np.zeros_like(wavelengths)
+        tau_0 = float(np.exp(learned.log_tau_0))
+        beta = float(np.exp(learned.log_beta))
+        for i in range(params.num_forest_lines):
+            lam_i = LYMAN_WAVELENGTHS_A[i]
+            osc = LYMAN_OSCILLATOR_STRENGTHS[i]
+            z_i = wavelengths / lam_i - 1.0
+            scale = (
+                tau_0
+                * osc
+                / LYMAN_OSCILLATOR_STRENGTHS[0]
+                * lam_i
+                / LYMAN_WAVELENGTHS_A[0]
+            )
+            tau_eff += np.where(z_i <= z_qso, scale * (1.0 + z_i) ** beta, 0.0)
+        s = 1.0 - np.exp(-tau_eff) + float(np.exp(learned.log_c_0))
+        flux = flux + omega * s * np.exp(-tau) * rng.normal(size=wavelengths.shape)
 
     if dlas:
         from scipy.special import wofz

@@ -30,7 +30,6 @@ import numpy as np
 
 from .. import constants as C
 from ..ops.logmvn import LOG_2PI
-from ..ops.optical_depth import mean_flux_suppression
 from ..params import Parameters
 from .learned import LearnedModel
 
@@ -54,6 +53,21 @@ class TrainingParams(NamedTuple):
     log_c_0: jnp.ndarray
     log_tau_0: jnp.ndarray
     log_beta: jnp.ndarray
+
+
+def _mean_flux_suppression_np(obs_wl, beta, tau_0, z_qso, num_forest_lines):
+    """Host-numpy twin of ``ops.optical_depth.mean_flux_suppression``
+    for the one-time training-set preparation: the jnp op dispatches
+    eagerly to the default device, and a per-spectrum host loop over a
+    remote-TPU link pays a device round trip per call (measured:
+    minutes at Q=256, unusable at Q=65k).  Synchronization with the
+    inference op is pinned by tests/test_training.py."""
+    lam = np.asarray(C.LYMAN_WAVELENGTHS_A[:num_forest_lines], np.float64)
+    osc = np.asarray(C.LYMAN_OSCILLATOR_STRENGTHS[:num_forest_lines], np.float64)
+    one_plus_z = obs_wl[..., None] / lam  # (..., P, L)
+    scale = tau_0 * osc / osc[0] * lam / lam[0]
+    tau = scale * one_plus_z**beta * (one_plus_z - 1.0 <= z_qso)
+    return np.exp(-np.sum(tau, axis=-1))
 
 
 def prepare_training_set(
@@ -104,15 +118,11 @@ def prepare_training_set(
         one_pz = obs_wl / C.LYA_WAVELENGTH_A  # 1 + z_lya per pixel
 
         # lift the mean-flux suppression over the full Lyman series —
-        # the SAME op build_spectrum_model uses to apply the
-        # suppression at inference time (ops/optical_depth.py), so the
-        # training-time lift cannot desynchronize from it
-        a = np.asarray(
-            mean_flux_suppression(
-                obs_wl, params.prev_beta, params.prev_tau_0, z,
-                params.num_forest_lines,
-            ),
-            np.float64,
+        # same formula build_spectrum_model applies at inference time
+        # (ops/optical_depth.py; the numpy twin is test-pinned to it)
+        a = _mean_flux_suppression_np(
+            obs_wl, params.prev_beta, params.prev_tau_0, z,
+            params.num_forest_lines,
         )
 
         flux_out[i, ok] = f[ok] / a[ok]
@@ -166,9 +176,15 @@ def initialize(params: Parameters, train: TrainingSet) -> tuple[np.ndarray, Trai
 def _forest_optical_depth(lya_1pz, zqso_1pz, tau_0, beta, num_forest_lines: int):
     """Approximate Lyman-series optical depth from the Lya pixel
     redshifts via the oscillator-strength scaling relationship
-    (reference: spectrum_loss_lyseries.m:22-44)."""
-    lam = C.LYMAN_WAVELENGTHS_A
-    osc = C.LYMAN_OSCILLATOR_STRENGTHS
+    (reference: spectrum_loss_lyseries.m:22-44).
+
+    The atomic constants enter as Python floats (weak types): under
+    globally-enabled x64 a raw numpy-f64 scalar would promote the whole
+    (Q, R) tau pipeline — and the matmuls fed from it — to f64, which
+    on TPU means emulated doubles (measured: the full-scale fit goes
+    from minutes to unusable)."""
+    lam = [float(x) for x in C.LYMAN_WAVELENGTHS_A[:num_forest_lines]]
+    osc = [float(x) for x in C.LYMAN_OSCILLATOR_STRENGTHS[:num_forest_lines]]
     tau_total = tau_0 * lya_1pz**beta
     for i in range(1, num_forest_lines):
         lyman_1pz = lam[0] * lya_1pz / lam[i]

@@ -211,3 +211,22 @@ def test_training_checkpoint_resume(tmp_path):
     )
     assert losses2.shape[0] == 5
     assert np.isfinite(losses2).all()
+
+
+def test_host_mean_flux_twin_matches_jnp_op():
+    """The host-numpy mean-flux lift used by prepare_training_set must
+    match the jnp op build_spectrum_model applies at inference time —
+    the twin exists so the one-time host prep never pays a device round
+    trip per spectrum (remote-TPU links make that minutes at Q=256)."""
+    from gpy_dla_detection_tpu.models.training import _mean_flux_suppression_np
+    from gpy_dla_detection_tpu.ops.optical_depth import mean_flux_suppression
+
+    rng = np.random.default_rng(0)
+    obs_wl = np.sort(rng.uniform(3600.0, 5800.0, size=512))
+    for z, beta, tau_0 in [(3.1, 3.182, 0.00554), (2.4, 3.65, 0.0023)]:
+        want = np.asarray(
+            mean_flux_suppression(jnp.asarray(obs_wl), beta, tau_0, z, 31),
+            np.float64,
+        )
+        got = _mean_flux_suppression_np(obs_wl, beta, tau_0, z, 31)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
