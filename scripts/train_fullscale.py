@@ -199,6 +199,12 @@ def main():
     ap.add_argument("--chunks", type=int, default=16)
     ap.add_argument("--gate-n", type=int, default=100)
     ap.add_argument("--output", default="TRAIN_r05.json")
+    ap.add_argument(
+        "--cache", default=None,
+        help="npz path for the prepared training set (generation + "
+        "rest-grid prep take ~6 min at Q=65k; cache to iterate on the "
+        "fit stage)",
+    )
     args = ap.parse_args()
 
     from gpy_dla_detection_tpu.data.synthetic import synthetic_learned_model
@@ -213,20 +219,35 @@ def main():
     print(f"[train_fullscale] backend={backend} Q={args.num_spectra} "
           f"iters={args.iters}", flush=True)
 
-    t0 = time.time()
-    wl_l, fx_l, nv_l, pm_l, zs = generate_observations(
-        params, learned_true, args.num_spectra
-    )
-    t_gen = time.time() - t0
-    print(f"[train_fullscale] generated {args.num_spectra} spectra in "
-          f"{t_gen:.0f}s", flush=True)
+    from gpy_dla_detection_tpu.models.training import TrainingSet
 
-    t0 = time.time()
-    train = prepare_training_set(params, wl_l, fx_l, nv_l, pm_l, zs)
-    del wl_l, fx_l, nv_l, pm_l
-    t_prep = time.time() - t0
-    print(f"[train_fullscale] prepared rest-grid set "
-          f"(R={train.rest_wavelengths.shape[0]}) in {t_prep:.0f}s", flush=True)
+    if args.cache and os.path.exists(args.cache):
+        with np.load(args.cache) as f:
+            train = TrainingSet(**{k: f[k] for k in TrainingSet._fields})
+        assert train.flux.shape[0] == args.num_spectra, train.flux.shape
+        t_gen = t_prep = 0.0
+        print(f"[train_fullscale] loaded cached training set from "
+              f"{args.cache}", flush=True)
+    else:
+        t0 = time.time()
+        wl_l, fx_l, nv_l, pm_l, zs = generate_observations(
+            params, learned_true, args.num_spectra
+        )
+        t_gen = time.time() - t0
+        print(f"[train_fullscale] generated {args.num_spectra} spectra in "
+              f"{t_gen:.0f}s", flush=True)
+
+        t0 = time.time()
+        train = prepare_training_set(params, wl_l, fx_l, nv_l, pm_l, zs)
+        del wl_l, fx_l, nv_l, pm_l
+        t_prep = time.time() - t0
+        print(f"[train_fullscale] prepared rest-grid set "
+              f"(R={train.rest_wavelengths.shape[0]}) in {t_prep:.0f}s",
+              flush=True)
+        if args.cache:
+            np.savez(args.cache, **train._asdict())
+            print(f"[train_fullscale] cached training set to {args.cache}",
+                  flush=True)
 
     mu, p0 = initialize(params, train)
     dtype = jnp.float32
@@ -290,11 +311,16 @@ def main():
     }
     print(f"[train_fullscale] quality: {quality}", flush=True)
 
-    t0 = time.time()
-    gate = detection_gate(params, learned_trained, learned_true, n=args.gate_n)
-    t_gate = time.time() - t0
-    print(f"[train_fullscale] detection gate in {t_gate:.0f}s: {gate}",
-          flush=True)
+    if args.gate_n > 0:
+        t0 = time.time()
+        gate = detection_gate(
+            params, learned_trained, learned_true, n=args.gate_n
+        )
+        t_gate = time.time() - t0
+        print(f"[train_fullscale] detection gate in {t_gate:.0f}s: {gate}",
+              flush=True)
+    else:
+        gate, t_gate = None, 0.0
 
     ds = max(1, args.iters // 100)
     artifact = {
