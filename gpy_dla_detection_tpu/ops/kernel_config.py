@@ -6,9 +6,31 @@ Pallas Voigt).  Which one runs is an explicit *static argument* threaded
 through the call chain — never read from the environment inside traced
 code, so behavior cannot depend on jit-cache state or call order.
 
-The ``GPY_DLA_*`` environment variables are read exactly once, here, at
-import time, and only set the defaults used when a caller passes
-``None`` ("auto").
+The ``GPY_DLA_*`` environment variables are read exactly once, at
+import time (here or in the module that owns them), and only set the
+defaults used when a caller passes ``None`` ("auto").
+
+Support policy (round 5).  Every flag is one of:
+
+* PRODUCTION — selects between supported configurations; both values
+  exercised by hermetic tests.  GPY_DLA_USE_PALLAS, GPY_DLA_FAST_VOIGT,
+  GPY_DLA_WINDOW_TIER, GPY_DLA_FUSED_ABS, GPY_DLA_FUSED_POLY,
+  GPY_DLA_ABS_DTYPE (f32/i16/i16p), GPY_DLA_RESAMPLER
+  (multinomial/systematic).
+* ABLATION-ONLY — keeps a measured-slower-but-correct variant for
+  re-measurement on future hardware; parity-tested, never the default:
+  GPY_DLA_PACKED=0 (flat chain layout), GPY_DLA_CHAIN_R2=0 (rank-1
+  chain; also the odd-k semantics), GPY_DLA_U_SPLIT=0 (6-pass HIGHEST
+  u dot), GPY_DLA_EXTRA_STREAMS=0 (materialized stream product).
+* EXPERIMENT KNOBS — numeric tuning inputs, not code paths:
+  GPY_DLA_BLOCK_S, GPY_DLA_CHAIN_BS.
+* DELETED in round 5 (measured-and-rejected; PERFORMANCE.md keeps the
+  numbers): GPY_DLA_FUSED_TIER, GPY_DLA_PALLAS_VOIGT,
+  GPY_DLA_SPLIT_CHAIN, GPY_DLA_CHAIN_T, GPY_DLA_CHAIN_DOT.
+
+(Deployment/config variables — GPY_DLA_DATA_DIR, GPY_DLA_SPECTRA_DIR,
+GPY_DLA_NUM_SPECTRA, GPY_DLA_DRYRUN_FULL, GPY_DLA_NUM_PROCESSES,
+GPY_DLA_COORDINATOR, GPY_DLA_PROCESS_ID — are not kernel toggles.)
 """
 
 from __future__ import annotations
@@ -25,14 +47,14 @@ DEFAULT_USE_PALLAS: bool = os.environ.get("GPY_DLA_USE_PALLAS", "1") == "1"
 # Voigt evaluation strategy: "windowed" (CF everywhere + exact Weideman
 # on a chunk-aligned 256-px window per line center; default — ~10%
 # faster end to end once the chained levels gather instead of
-# recomputing), "exact" (full Weideman+CF blend at every pixel,
+# recomputing) or "exact" (full Weideman+CF blend at every pixel,
 # GPY_DLA_FAST_VOIGT=0; agrees with windowed to ~1e-4 relative in log
-# evidence) or "pallas" (fused kernel; lost on v5e, kept opt-in).
-# See PERFORMANCE.md.
-if os.environ.get("GPY_DLA_PALLAS_VOIGT", "0") == "1":
-    DEFAULT_VOIGT_IMPL: str = "pallas"
-elif os.environ.get("GPY_DLA_FAST_VOIGT", "1") == "1":
-    DEFAULT_VOIGT_IMPL = "windowed"
+# evidence).  See PERFORMANCE.md.  (The round-1 standalone "pallas"
+# strategy, GPY_DLA_PALLAS_VOIGT, was measured slower than the XLA
+# windowed composition on v5e and deleted in round 5; the production
+# TPU path is the FUSED_ABS kernel below, not a voigt impl.)
+if os.environ.get("GPY_DLA_FAST_VOIGT", "1") == "1":
+    DEFAULT_VOIGT_IMPL: str = "windowed"
 else:
     DEFAULT_VOIGT_IMPL = "exact"
 

@@ -19,10 +19,12 @@ projection dots and writes (S, k*k)+(S, k)+(S, 2) intermediates to
 HBM; stage B re-reads them in (1000, k*k) row blocks, TRANSPOSES each
 block once in VMEM, and runs the serial factorization chain with
 samples on lanes and a shrinking active triangle entirely as sublane
-operations.  The row-layout chain relayouts the full lane dimension
-every iteration; the transposed math cuts it 0.976 -> 0.350 ms/call
-all-in at S=10k (PERFORMANCE.md).  ``GPY_DLA_SPLIT_CHAIN=0`` restores
-the fused kernel, ``GPY_DLA_CHAIN_T=0`` the row-layout chain.
+operations.  The rejected alternatives — a single fused kernel
+(GPY_DLA_SPLIT_CHAIN=0), the row-layout chain (GPY_DLA_CHAIN_T=0), and
+the four-dot rank-2 selection (GPY_DLA_CHAIN_DOT=separate) — were
+measured slower (row layout relayouts the full lane dimension every
+iteration: 0.976 -> 0.350 ms/call all-in at S=10k) and deleted in
+round 5; PERFORMANCE.md keeps the numbers.
 """
 
 from __future__ import annotations
@@ -38,20 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .kernel_config import ABS_I16_SCALE, largest_aligned_divisor
 from .logmvn import LOG_2PI
-
-# two-kernel split (capacitance/MXU stage + factorization-chain stage,
-# see _chain_block_s): default on; GPY_DLA_SPLIT_CHAIN=0 restores the
-# single fused kernel (kept for ablation/rollback)
-_SPLIT_CHAIN: bool = os.environ.get("GPY_DLA_SPLIT_CHAIN", "1") == "1"
-
-# transposed chain math (samples on LANES, k*k on sublanes, one
-# in-VMEM block transpose at kernel entry): every per-iteration
-# slice/broadcast of the factorization chain becomes a sublane
-# operation, so no iteration relayouts the lane dimension.  Measured
-# 0.976 (row layout) -> 0.350 ms/call at S=10k
-# (scripts/kernel_ablate.py chain_*); GPY_DLA_CHAIN_T=0 restores the
-# row-layout chain.
-_CHAIN_T: bool = os.environ.get("GPY_DLA_CHAIN_T", "1") == "1"
 
 # rank-2 steps in the transposed chain: factor columns (j, j+1) per
 # iteration and apply ONE combined trailing update, halving the number
@@ -78,17 +66,6 @@ _PACKED: bool = os.environ.get("GPY_DLA_PACKED", "1") == "1"
 # the comment at the use site in _assemble).  GPY_DLA_U_SPLIT=0
 # restores the 6-pass Precision.HIGHEST lowering.
 _U_SPLIT: bool = os.environ.get("GPY_DLA_U_SPLIT", "1") == "1"
-
-# rank-2 packed chain selection-dot strategy: "combined" (default)
-# fuses each iteration's four HIGHEST-precision selection dots into one
-# block-diagonal 0/1 selector at 3 exact bf16-split passes
-# (_make_chain_kernel_tp2c); "separate" restores the four-dot kernel.
-_CHAIN_DOT: str = os.environ.get("GPY_DLA_CHAIN_DOT", "combined")
-if _CHAIN_DOT not in ("combined", "separate"):
-    raise ValueError(
-        f"GPY_DLA_CHAIN_DOT must be 'combined' or 'separate', "
-        f"got {_CHAIN_DOT!r}"
-    )
 
 # sample-block size: multiple of the f32 sublane tile (8).  Keep the
 # per-block live set (absorption block + ~6 elementwise temporaries +
@@ -278,52 +255,6 @@ def _make_cap_kernel(k: int, n_extra: int, u_split: bool = _U_SPLIT):
     return _kernel
 
 
-def _make_chain_kernel(k: int):
-    """Stage-B kernel: the serial Cholesky factorization chain over
-    (bs, k^2) blocks, with a shrinking active triangle — iteration j
-    only carries columns j.. of the capacitance ((k-j) k lanes), which
-    halves the average update lane work vs the full flat tile."""
-
-    def _kernel(B_ref, u_ref, misc_ref, ll_ref):
-        u = u_ref[:]
-        misc = misc_ref[:]
-        quad0 = misc[:, 0:1]
-        logdet0 = misc[:, 1:2]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
-        eye_head = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) // k
-            == jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) % k
-        ).astype(jnp.float32)
-        T = B_ref[:] + eye_head
-        quad = jnp.zeros_like(quad0)
-        logdet = jnp.zeros_like(logdet0)
-        for j in range(k):
-            dj = T[:, j : j + 1]
-            logdet = logdet + jnp.log(dj)
-            inv_sqrt = jax.lax.rsqrt(dj)
-            lower = (lane >= j).astype(jnp.float32)
-            col = T[:, :k] * inv_sqrt * lower
-            tj = u[:, j : j + 1] * inv_sqrt
-            quad = quad + tj * tj
-            u = u - tj * col
-            rem = k - j - 1
-            if rem:
-                i_idx = jax.lax.broadcasted_iota(jnp.int32, (k, rem * k), 0)
-                p_idx = jax.lax.broadcasted_iota(jnp.int32, (k, rem * k), 1)
-                Rj = (p_idx // k + j + 1 == i_idx).astype(jnp.float32)
-                rep = jnp.dot(
-                    col,
-                    Rj,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                tile = pltpu.repeat(col, rem, axis=1)
-                T = T[:, k:] - rep * tile
-        ll_ref[:] = -0.5 * (quad0 - quad + logdet0 + logdet)
-
-    return _kernel
-
-
 def _make_chain_kernel_t(k: int):
     """Transposed stage-B kernel: row-layout (bs, k*k) HBM blocks are
     transposed ONCE in VMEM at kernel entry, then the factorization
@@ -472,7 +403,7 @@ def packed_path_active() -> bool:
     packed-triangular capacitance path under the env defaults — i.e.
     when a packed pair basis (``packed_pair_basis``) is the layout to
     precompute."""
-    return _PACKED and _SPLIT_CHAIN and _CHAIN_T
+    return _PACKED
 
 
 def packed_pair_basis(M):
@@ -549,79 +480,6 @@ def _make_chain_kernel_tp(k: int):
     return _kernel
 
 
-def _make_chain_kernel_tp2(k: int):
-    """Rank-2 packed transposed stage-B kernel: the packed staircase
-    chain of :func:`_make_chain_kernel_tp`, factoring columns (j, j+1)
-    per iteration with ONE combined trailing pass — the packed T is
-    read and written k/2 times instead of k.  Column j+1's contiguous
-    packed segment is pre-updated with col_j's rank-1 term (its rep
-    value is col_j[1], a single sublane row) before its own
-    factorization, preserving the exact rank-1 arithmetic.  Requires
-    even k."""
-    assert k % 2 == 0
-    P = k * (k + 1) // 2
-
-    def _kernel(B_ref, u_ref, misc_ref, colidx_ref, rowidx_ref, ll_ref):
-        colv = colidx_ref[:]  # (P, 1) i32
-        rowv = rowidx_ref[:]
-        T = B_ref[:].T + (rowv == colv).astype(jnp.float32)  # (P, bs)
-        u = u_ref[:].T  # (k, bs)
-        misc = misc_ref[:].T
-        quad0 = misc[0:1, :]
-        logdet0 = misc[1:2, :]
-        quad = jnp.zeros_like(quad0)
-        logdet = jnp.zeros_like(logdet0)
-        for j in range(0, k, 2):
-            seg = k - j  # column j's packed segment length
-            dj = T[0:1, :]
-            inv_j = jax.lax.rsqrt(dj)
-            col_j = T[0:seg, :] * inv_j  # rows a = j..k-1
-            tj = u[0:1, :] * inv_j
-            u = u[1:, :] - tj * col_j[1:, :]
-            # column j+1's segment (rows a = j+1..k-1), pre-updated
-            # with col_j's rank-1 term: L[a,j]*L[j+1,j]
-            bcol = T[seg : 2 * seg - 1, :] - col_j[1:2, :] * col_j[1:, :]
-            dj1 = bcol[0:1, :]
-            inv_j1 = jax.lax.rsqrt(dj1)
-            col_j1 = bcol * inv_j1  # rows a = j+1..k-1
-            tj1 = u[0:1, :] * inv_j1
-            if j + 2 < k:  # final pair consumes u entirely
-                u = u[1:, :] - tj1 * col_j1[1:, :]
-            quad = quad + tj * tj + tj1 * tj1
-            logdet = logdet + jnp.log(dj) + jnp.log(dj1)
-            done = 2 * seg - 1  # packed rows consumed by columns j, j+1
-            rem_p = P - (j * k - j * (j - 1) // 2) - done
-            if rem_p:
-                colv = colv[done:, :]
-                rowv = rowv[done:, :]
-                cj = jax.lax.broadcasted_iota(jnp.int32, (rem_p, seg), 1)
-                R1j = (colv - j == cj).astype(jnp.float32)
-                R2j = (rowv - j == cj).astype(jnp.float32)
-                cj1 = jax.lax.broadcasted_iota(
-                    jnp.int32, (rem_p, seg - 1), 1
-                )
-                R1j1 = (colv - (j + 1) == cj1).astype(jnp.float32)
-                R2j1 = (rowv - (j + 1) == cj1).astype(jnp.float32)
-                hi = jax.lax.Precision.HIGHEST
-                rep_j = jnp.dot(R1j, col_j,
-                                preferred_element_type=jnp.float32,
-                                precision=hi)
-                tile_j = jnp.dot(R2j, col_j,
-                                 preferred_element_type=jnp.float32,
-                                 precision=hi)
-                rep_j1 = jnp.dot(R1j1, col_j1,
-                                 preferred_element_type=jnp.float32,
-                                 precision=hi)
-                tile_j1 = jnp.dot(R2j1, col_j1,
-                                  preferred_element_type=jnp.float32,
-                                  precision=hi)
-                T = T[done:, :] - rep_j * tile_j - rep_j1 * tile_j1
-        ll = -0.5 * (quad0 - quad + logdet0 + logdet)
-        ll_ref[:] = ll.T
-
-    return _kernel
-
-
 def _split3_bf16(x):
     """Exact 3-plane bf16 decomposition of an f32 array: hi = bf16(x),
     mid = bf16(x - hi), lo = x - hi - mid.  3 x 8 mantissa bits cover
@@ -637,10 +495,12 @@ def _split3_bf16(x):
 
 
 def _make_chain_kernel_tp2c(k: int):
-    """Combined-dot rank-2 packed transposed stage-B kernel: the exact
-    arithmetic of :func:`_make_chain_kernel_tp2`, but each iteration's
-    FOUR selection dots (rep/tile for columns j and j+1, each a 6-pass
-    HIGHEST issue) collapse into ONE block-diagonal 0/1 selector
+    """Combined-dot rank-2 packed transposed stage-B kernel: rank-2
+    packed-staircase factorization (two columns per iteration, exact
+    rank-1 arithmetic), where each iteration's FOUR selection dots
+    (rep/tile for columns j and j+1, each a 6-pass HIGHEST issue — the
+    round-4 "separate" kernel, deleted) collapse into ONE block-diagonal
+    0/1 selector
     multiplied against the stacked [col_j; col_j1] at 3 exact
     bf16-split passes — 40 x 6 MXU issues per block become 10 x 3.  The
     selector's left half picks col_j entries (lanes 0..seg-1), the
@@ -717,84 +577,11 @@ def _make_chain_kernel_tp2c(k: int):
     return _kernel
 
 
-def _make_kernel(k: int, n_extra: int, u_split: bool = _U_SPLIT):
-    """The single fused kernel (GPY_DLA_SPLIT_CHAIN=0 rollback path):
-    :func:`_assemble` followed by the row-layout factorization chain in
-    the same grid step."""
-
-    def _kernel(rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, *rest):
-        extra_refs = rest[:n_extra]
-        (ll_ref,) = rest[n_extra:]
-        B, u, quad0, logdet0, n = _assemble(
-            rows_ref, M_ref, Mp_hi_ref, Mp_lo_ref, a_ref, extra_refs,
-            u_split=u_split,
-        )
-
-        # Capacitance A = I + M^T D^-1 M kept FLAT as (BS, k*k) — Mosaic
-        # rejects the (BS, k, k) shape cast.  A is symmetric and stays
-        # symmetric under every rank-1 update, so "column j" is read as
-        # the contiguous lane block of row j.  The flattened outer
-        # product col col^T = rep * tile with tile[p] = col[p % k]
-        # (pltpu.repeat, exact, no MXU) and rep[p] = col[p // k] via the
-        # 0/1 selection matmul rep = col @ R, R[i, p] = [p//k == i], at
-        # Precision.HIGHEST.  HIGHEST is load-bearing: a bf16 DEFAULT
-        # pass loses ~1e-2 in the rank-1 updates — enough to drive
-        # Cholesky diagonals negative (NaN evidences on the CIV model's
-        # ill-conditioned rank-5 capacitances).  Measured alternatives
-        # (all exact, all slower or VMEM-unsafe): 3-way bf16 split with
-        # DEFAULT dots 45.5/s but ~300 KB from the 16 MB VMEM stack
-        # limit; stacked single split-dot OOMs at BS=128; pure-VPU
-        # broadcast/concat formulations 34-36/s (20-lane tiles waste
-        # 84% of the VPU and concats shuffle across lanes);
-        # left-looking bordered Cholesky 41/s (serial (BS, k) chain).
-        p_idx = jax.lax.broadcasted_iota(jnp.int32, (k, k * k), 1)
-        i_idx = jax.lax.broadcasted_iota(jnp.int32, (k, k * k), 0)
-        R = (p_idx // k == i_idx).astype(jnp.float32)  # (k, k*k)
-        eye_flat = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) // k
-            == jax.lax.broadcasted_iota(jnp.int32, (1, k * k), 1) % k
-        ).astype(jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
-
-        A = B + eye_flat  # (BS, k*k)
-        quad = jnp.zeros_like(quad0)
-        logdet = jnp.zeros_like(logdet0)
-        for j in range(k):
-            base = j * k
-            dj = A[:, base + j : base + j + 1]  # (BS, 1)
-            logdet = logdet + jnp.log(dj)
-            inv_sqrt = jax.lax.rsqrt(dj)
-            lower = (lane >= j).astype(jnp.float32)  # (1, k)
-            col = A[:, base : base + k] * inv_sqrt * lower  # (BS, k)
-            tj = u[:, j : j + 1] * inv_sqrt  # (BS, 1)
-            quad = quad + tj * tj
-            u = u - tj * col
-            if j < k - 1:
-                rep = jnp.dot(
-                    col, R,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                tile = pltpu.repeat(col, k, axis=1)
-                A = A - rep * tile
-
-        ll_ref[:] = -0.5 * (quad0 - quad + logdet0 + logdet + n * LOG_2PI)
-
-    return _kernel
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k", "interpret", "chain_t", "chain_r2", "packed", "chain_dot",
-        "u_split",
-    ),
-)
 def batched_log_mvnpdf_pallas(
     y, mu, M, omega2, v, mask, absorption, M_pair, k: int,
-    interpret: bool = False, extra=None, chain_t: bool | None = None,
+    interpret: bool = False, extra=None,
     chain_r2: bool | None = None, packed: bool | None = None,
-    chain_dot: str | None = None, u_split: bool | None = None,
+    u_split: bool | None = None,
 ):
     """Fused TPU evaluation of the batched masked Woodbury log-density.
 
@@ -848,16 +635,12 @@ def batched_log_mvnpdf_pallas(
         ]
     )  # (5, N)
 
-    if chain_t is None:
-        chain_t = _CHAIN_T
     if chain_r2 is None:
         chain_r2 = _CHAIN_R2
     if packed is None:
         packed = _PACKED
     if u_split is None:
         u_split = _U_SPLIT
-    # packed requires the split transposed path; fall back otherwise
-    packed = packed and _SPLIT_CHAIN and chain_t
 
     Mp32 = M_pair.astype(jnp.float32)
     kk_packed = k * (k + 1) // 2
@@ -899,91 +682,62 @@ def batched_log_mvnpdf_pallas(
         in_specs.append(blk_spec(e))
         args.append(e)
 
-    if _SPLIT_CHAIN:
-        vmem = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
-        B, u, misc = pl.pallas_call(
-            _make_cap_kernel(k, len(extras), u_split=u_split),
-            grid=(n_blocks,),
-            in_specs=in_specs,
-            out_specs=(
-                pl.BlockSpec(
-                    (block_s, kk), lambda i: (i, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (block_s, k), lambda i: (i, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (block_s, 2), lambda i: (i, 0), memory_space=pltpu.VMEM
-                ),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((S_pad, kk), jnp.float32),
-                jax.ShapeDtypeStruct((S_pad, k), jnp.float32),
-                jax.ShapeDtypeStruct((S_pad, 2), jnp.float32),
-            ),
-            compiler_params=vmem,
-            interpret=interpret,
-        )(*args)
-        bs2 = _chain_block_s(S_pad)
-        chain_args = (B, u, misc)
-        chain_in_specs = [
-            pl.BlockSpec((bs2, kk), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs2, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ]
-        if packed:
-            if chain_r2 and k % 2 == 0:
-                dot_mode = _CHAIN_DOT if chain_dot is None else chain_dot
-                maker = (
-                    _make_chain_kernel_tp2c
-                    if dot_mode == "combined"
-                    else _make_chain_kernel_tp2
-                )
-                chain_kernel = maker(k)
-            else:
-                chain_kernel = _make_chain_kernel_tp(k)
-            colidx = jnp.asarray(cols_l, jnp.int32)[:, None]  # (P, 1)
-            rowidx = jnp.asarray(rows_l, jnp.int32)[:, None]
-            chain_args = chain_args + (colidx, rowidx)
-            idx_spec = pl.BlockSpec(
-                (kk, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
-            )
-            chain_in_specs += [idx_spec, idx_spec]
-        elif chain_t and chain_r2 and k % 2 == 0:
-            chain_kernel = _make_chain_kernel_t2(k)
-        elif chain_t:
-            chain_kernel = _make_chain_kernel_t(k)
-        else:
-            chain_kernel = _make_chain_kernel(k)
-        (ll,) = pl.pallas_call(
-            chain_kernel,
-            grid=(S_pad // bs2,),
-            in_specs=chain_in_specs,
-            out_specs=(
-                pl.BlockSpec((bs2, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            ),
-            out_shape=(jax.ShapeDtypeStruct((S_pad, 1), jnp.float32),),
-            compiler_params=vmem,
-            interpret=interpret,
-        )(*chain_args)
-        return ll[:S, 0]
-
-    (ll,) = pl.pallas_call(
-        _make_kernel(k, len(extras), u_split=u_split),
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    B, u, misc = pl.pallas_call(
+        _make_cap_kernel(k, len(extras), u_split=u_split),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((block_s, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_s, kk), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_s, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_s, 2), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
         ),
-        out_shape=(jax.ShapeDtypeStruct((S_pad, 1), jnp.float32),),
-        # Mosaic's default 16 MB scoped-VMEM cap is conservative (the
-        # chip has 128 MB); granting 64 MB gives the 200-row block headroom and
-        # keeps fresh compiles of every batch size from OOMing at the
-        # accounting level (a fresh BS=256 compile measured 18.2 MB)
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+        out_shape=(
+            jax.ShapeDtypeStruct((S_pad, kk), jnp.float32),
+            jax.ShapeDtypeStruct((S_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((S_pad, 2), jnp.float32),
         ),
+        compiler_params=vmem,
         interpret=interpret,
     )(*args)
-
+    bs2 = _chain_block_s(S_pad)
+    chain_args = (B, u, misc)
+    chain_in_specs = [
+        pl.BlockSpec((bs2, kk), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bs2, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bs2, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    if packed:
+        if chain_r2 and k % 2 == 0:
+            chain_kernel = _make_chain_kernel_tp2c(k)
+        else:
+            chain_kernel = _make_chain_kernel_tp(k)
+        colidx = jnp.asarray(cols_l, jnp.int32)[:, None]  # (P, 1)
+        rowidx = jnp.asarray(rows_l, jnp.int32)[:, None]
+        chain_args = chain_args + (colidx, rowidx)
+        idx_spec = pl.BlockSpec(
+            (kk, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        chain_in_specs += [idx_spec, idx_spec]
+    elif chain_r2 and k % 2 == 0:
+        chain_kernel = _make_chain_kernel_t2(k)
+    else:
+        chain_kernel = _make_chain_kernel_t(k)
+    (ll,) = pl.pallas_call(
+        chain_kernel,
+        grid=(S_pad // bs2,),
+        in_specs=chain_in_specs,
+        out_specs=(
+            pl.BlockSpec((bs2, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((S_pad, 1), jnp.float32),),
+        compiler_params=vmem,
+        interpret=interpret,
+    )(*chain_args)
     return ll[:S, 0]

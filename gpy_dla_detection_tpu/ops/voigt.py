@@ -599,10 +599,9 @@ def voigt_absorption(
         "exact" to ~1e-4 relative in log evidence), "exact" = full
         Weideman+CF blend at every pixel (the conformance path),
         "windowed" = K=1 far-field CF plus the exact blend on a
-        chunk-aligned 256-px window per line, "pallas" = fused kernel
-        (lost on v5e, kept opt-in — PERFORMANCE.md).  The fast paths
-        require 1-D inputs and the default thermal sigma (the window
-        sizing assumes it) and fall back to "exact" otherwise.
+        chunk-aligned 256-px window per line.  The fast path requires
+        1-D inputs and the default thermal sigma (the window sizing
+        assumes it) and falls back to "exact" otherwise.
     :return: (..., P - 6) if ``broadening`` else (..., P).
     (reference: gpy_dla_detection/voigt.py:251-322)
     """
@@ -614,10 +613,6 @@ def voigt_absorption(
         and wavelengths.ndim == 1
         and sigma == C.THERMAL_SIGMA_CGS
     )
-    if impl == "pallas" and structured and broadening:
-        from .voigt_pallas import voigt_absorption_pallas
-
-        return voigt_absorption_pallas(wavelengths, nhi, z_absorber, num_lines)
     if impl == "windowed" and structured:
         unit = _unit_lyman_series_optical_depth_windowed(
             wavelengths, z_absorber, num_lines, sigma

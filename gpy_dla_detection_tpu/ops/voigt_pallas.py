@@ -1,15 +1,24 @@
-"""Pallas TPU kernel: windowed-Weideman Voigt absorption.
+"""Pallas TPU kernels for the windowed Voigt absorption hot path.
 
 The physics: at SDSS resolution (69 km/s pixels) only ~±2 pixels around
 each line center fall inside the Weideman rational approximation's
-|z| <= RADIUS disk; everywhere else the 5-term continued fraction is
-exact to f32.  The XLA formulation of this split dies on the scatter-add
-(see ops/voigt.py); here the per-sample window updates are contiguous
-``pl.ds`` row stores inside the kernel — cheap — while the continued
-fraction and the window Weideman evaluations stay fully vectorized.
+|z| <= RADIUS disk; everywhere else cheaper evaluations (per-line
+polynomial Faddeeva / continued fraction / far-field Lorentzian) are
+exact to f32.  The kernels here fuse window evaluation, placement, exp,
+the 7-tap instrumental convolution and the storage encode, so the raw
+profile never exists outside VMEM:
 
-The kernel also fuses the exp and the 7-tap instrumental convolution,
-so the raw profile never exists outside VMEM.
+* ``absorption_all_pallas`` — the production kernel: the ENTIRE
+  windowed absorption for every column-density family in one pass.
+* ``absorption_from_unit_tau_pallas`` / ``absorption_windowed_pallas``
+  — exp + broadening (+ window placement) tails over a precomputed
+  unit optical depth, used when the tau is shared across families.
+
+The round-1 standalone per-row-dynamic-slice kernel
+(GPY_DLA_PALLAS_VOIGT) was measured SLOWER than the XLA windowed
+composition on v5e (its per-row ``pl.ds`` gather/scatter loops
+serialize; PERFORMANCE.md keeps the numbers) and was deleted in
+round 5.
 """
 
 from __future__ import annotations
@@ -30,149 +39,11 @@ from .faddeeva import (
     _wofz_weideman,
 )
 
-BLOCK_S = 256
 # full window width around each line center: Mosaic only supports
 # lane-dimension dynamic slices at 128-aligned offsets, so the window is
 # two aligned 128-lane tiles; alignment + the 3000 km/s max_z cut
 # guarantee every line core (|z| <= RADIUS spans ~±2 px) is covered
 WINDOW = 256
-
-
-def _kernel(
-    z_smem,      # (BS, 1) SMEM: redshifts for scalar per-row math
-    wl_ref,      # (1, P) wavelengths
-    z_ref,       # (BS, 1) absorber redshifts
-    nhi_ref,     # (BS, 1) column densities
-    out_ref,     # (BS, P - 2*width) absorption
-    tau_ref,     # scratch (BS, P)
-    win_ref,     # scratch (BS, WINDOW) per-line correction
-    *,
-    num_lines,
-    sigma,
-    taps,
-    width,
-):
-    dtype = jnp.float32
-    wl = wl_ref[:]  # (1, P)
-    P = wl.shape[1]
-    BS = z_ref.shape[0]
-    inv = 1.0 / (jnp.sqrt(jnp.asarray(2.0, dtype)) * sigma)
-    c_cgs = jnp.asarray(C.SPEED_OF_LIGHT_CGS, dtype)
-    one_plus_z = 1.0 + z_ref[:]  # (BS, 1)
-
-    # log-uniform grid parameters for locating line centers
-    log_w0 = jnp.log(wl[0, 0])
-    dlog = (jnp.log(wl[0, P - 1]) - log_w0) / (P - 1)
-
-    tau_ref[:] = jnp.zeros((BS, P), dtype)
-
-    for l in range(num_lines):
-        lam_l = jnp.asarray(C.LYMAN_WAVELENGTHS_A[l], dtype)
-        lead_l = jnp.asarray(C.LYMAN_LEADING_CONSTANTS[l], dtype)
-        gam_l = jnp.asarray(C.LYMAN_LORENTZIAN_WIDTHS[l], dtype)
-        amp = lead_l * inv / jnp.asarray(jnp.sqrt(jnp.pi), dtype)
-        y_l = gam_l * inv
-        lam_c = lam_l * one_plus_z  # (BS, 1)
-
-        # vectorized continued fraction over all pixels; zero inside disk
-        x_all = (wl - lam_c) * (c_cgs / lam_c) * inv  # (BS, P)
-        ax = jnp.abs(x_all)
-        cf_re, _ = _wofz_cf(ax, jnp.full_like(ax, y_l))
-        outer = ax * ax + y_l * y_l > RADIUS * RADIUS
-        tau_ref[:] = tau_ref[:] + amp * jnp.where(outer, cf_re, 0.0)
-
-        # per-row window start from the log-uniform grid (scalar math on
-        # the SMEM copy of z)
-        max_start = ((P - WINDOW) // 128) * 128
-
-        def row_start(r):
-            lam_cr = lam_l * (1.0 + z_smem[r, 0])
-            center = ((jnp.log(lam_cr) - log_w0) / dlog).astype(jnp.int32)
-            aligned = ((center - 64) // 128) * 128
-            return pl.multiple_of(jnp.clip(aligned, 0, max_start), 128)
-
-        # gather per-row wavelength windows (contiguous ds reads)
-        def gather_row(r, _):
-            win_ref[r, :] = wl_ref[0, pl.ds(row_start(r), WINDOW)]
-            return 0
-
-        jax.lax.fori_loop(0, BS, gather_row, 0)
-
-        # vectorized exact evaluation on the (BS, WINDOW) tile
-        x_win = (win_ref[:] - lam_c) * (c_cgs / lam_c) * inv
-        axw = jnp.abs(x_win)
-        inner = axw * axw + y_l * y_l <= RADIUS * RADIUS
-        wei, _ = _wofz_weideman(jnp.where(inner, axw, 0.0), jnp.full_like(axw, y_l))
-        win_ref[:] = amp * jnp.where(inner, wei, 0.0)
-
-        # scatter back as contiguous per-row stores
-        def store_row(r, _):
-            sl = pl.ds(row_start(r), WINDOW)
-            tau_ref[r, sl] = tau_ref[r, sl] + win_ref[r, :]
-            return 0
-
-        jax.lax.fori_loop(0, BS, store_row, 0)
-
-    raw = jnp.exp(-nhi_ref[:] * tau_ref[:])  # (BS, P)
-
-    # fused valid-mode instrumental convolution
-    out = taps[0] * raw[:, : P - 2 * width]
-    for k in range(1, 2 * width + 1):
-        out = out + taps[k] * raw[:, k : P - 2 * width + k]
-    out_ref[:] = out
-
-
-@functools.partial(jax.jit, static_argnames=("num_lines", "broadening"))
-def voigt_absorption_pallas(
-    wavelengths, nhi, z_absorber, num_lines: int = 3, broadening: bool = True
-):
-    """TPU fused Voigt absorption for a 1-D batch of absorbers.
-
-    Same contract as ops/voigt.voigt_absorption (f32, TPU only;
-    requires a log-uniform wavelength grid to locate line centers —
-    SDSS grids and this framework's padded grids are).
-    """
-    assert broadening, "unbroadened profiles use the jnp path"
-    width = C.INSTRUMENT_PROFILE_HALF_WIDTH
-    taps = tuple(float(t) for t in C.INSTRUMENT_PROFILE)
-    sigma = float(C.THERMAL_SIGMA_CGS)
-
-    S = z_absorber.shape[0]
-    P = wavelengths.shape[0]
-    n_blocks = -(-S // BLOCK_S)
-    S_pad = n_blocks * BLOCK_S
-    z = jnp.asarray(z_absorber, jnp.float32)
-    nhi = jnp.asarray(nhi, jnp.float32)
-    if S_pad != S:
-        z = jnp.concatenate([z, jnp.full((S_pad - S,), z[-1], jnp.float32)])
-        nhi = jnp.concatenate([nhi, jnp.full((S_pad - S,), nhi[-1], jnp.float32)])
-
-    out = pl.pallas_call(
-        functools.partial(
-            _kernel, num_lines=num_lines, sigma=sigma, taps=taps, width=width
-        ),
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((BLOCK_S, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_S, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_S, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (BLOCK_S, P - 2 * width), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((S_pad, P - 2 * width), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((BLOCK_S, P), jnp.float32),
-            pltpu.VMEM((BLOCK_S, WINDOW), jnp.float32),
-        ],
-    )(
-        z[:, None],
-        jnp.asarray(wavelengths, jnp.float32)[None, :],
-        z[:, None],
-        nhi[:, None],
-    )
-    return out[:S]
 
 
 def _out_width(n: int, out_dtype) -> int:

@@ -476,15 +476,15 @@ def build_chain_only(bs2: int, variant: str):
         _make_chain_kernel_t(k)(B_ref, u_ref, misc_ref, ll_ref)
 
     def kb_xtp(B_ref, u_ref, misc_ref, colidx_ref, rowidx_ref, ll_ref):
-        # packed-triangular production kernel (GPY_DLA_PACKED)
+        # packed-triangular production kernel (GPY_DLA_PACKED); the
+        # four-dot "xtp2" variant was deleted in round 5 (measured
+        # slower than the combined dot — PERFORMANCE.md)
         from gpy_dla_detection_tpu.ops.logmvn_pallas import (
             _make_chain_kernel_tp,
-            _make_chain_kernel_tp2,
             _make_chain_kernel_tp2c,
         )
 
         maker = {
-            "xtp2": _make_chain_kernel_tp2,
             "xtp2c": _make_chain_kernel_tp2c,
         }.get(variant, _make_chain_kernel_tp)
         maker(k)(B_ref, u_ref, misc_ref, colidx_ref, rowidx_ref, ll_ref)
@@ -494,7 +494,7 @@ def build_chain_only(bs2: int, variant: str):
     # transposed variants run padded to S_T=10240
     S_T = 10240
     vmem = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
-    if variant in ("xtp", "xtp2", "xtp2c"):
+    if variant in ("xtp", "xtp2c"):
         P = K * (K + 1) // 2
 
         @jax.jit
@@ -701,7 +701,7 @@ def main():
     # 8-sublane divisibility rule); keep the default list to stages that
     # reflect the current production kernel split.
     stages = sys.argv[1:] or ["elementwise", "elementwise_nolog", "matmul",
-                              "full_split2", "chain_xtp2_2000"]
+                              "full_split2", "chain_xtp2c_2000"]
     row0 = None  # seed-0 row-layout oracle, compiled once across stages
     for stage in stages:
         if stage == "accuracy":
@@ -709,7 +709,7 @@ def main():
         if stage.startswith("chain_"):
             variant, bs2 = stage[len("chain_"):].rsplit("_", 1)
             f = build_chain_only(int(bs2), variant)
-            if variant in ("xtp", "xtp2", "xtp2c"):
+            if variant in ("xtp", "xtp2c"):
                 ins = [chain_inputs_packed(s) for s in range(4)]
             else:
                 ins = [

@@ -145,31 +145,30 @@ def test_pallas_chain_layouts_agree():
             *args, A, use_pallas=False, extra=jnp.asarray(extra)
         )
     )
-    for chain_t, chain_r2, packed, chain_dot, u_split in (
-        (False, False, False, None, None),
-        (True, False, False, None, None),
-        (True, True, False, None, None),
-        (True, False, True, None, None),  # packed-triangular cap + chain
-        (True, True, True, "separate", None),  # packed rank-2, four-dot
-        (True, True, True, "combined", None),  # packed rank-2, one combined
-        # block-diagonal selection dot at 3 exact bf16-split passes
-        # both u-dot lowerings on the production config (GPY_DLA_U_SPLIT):
-        (True, True, True, "combined", True),  # 3-pass bf16-split u dot
-        (True, True, True, "combined", False),  # 6-pass HIGHEST u dot
+    # the surviving chain matrix (round 5 deleted the rejected
+    # row-layout, fused single-kernel and four-dot variants): flat
+    # transposed rank-1/rank-2 (the packed=0 ablation + odd-k
+    # semantics), packed rank-1 (odd-k fallback under packed), the
+    # production packed rank-2 combined-dot, and both u-dot lowerings
+    for chain_r2, packed, u_split in (
+        (False, False, None),  # flat rank-1 (odd-k shape of the t path)
+        (True, False, None),   # flat rank-2 (GPY_DLA_PACKED=0 ablation)
+        (False, True, None),   # packed rank-1 (odd-k fallback)
+        (True, True, None),    # PRODUCTION: packed rank-2 combined dot
+        (True, True, True),    # 3-pass bf16-split u dot
+        (True, True, False),   # 6-pass HIGHEST u dot
     ):
         got = np.asarray(
             batched_log_mvnpdf_pallas(
                 *args, A, pair_basis(args[2]), k,
-                interpret=True, extra=jnp.asarray(extra), chain_t=chain_t,
-                chain_r2=chain_r2, packed=packed, chain_dot=chain_dot,
-                u_split=u_split,
+                interpret=True, extra=jnp.asarray(extra),
+                chain_r2=chain_r2, packed=packed, u_split=u_split,
             )
         )
         np.testing.assert_allclose(
             got, ref, atol=5e-3 * np.mean(np.abs(ref)),
-            err_msg=f"chain_t={chain_t} chain_r2={chain_r2} "
-                    f"packed={packed} chain_dot={chain_dot} "
-                    f"u_split={u_split}",
+            err_msg=f"chain_r2={chain_r2} "
+                    f"packed={packed} u_split={u_split}",
         )
 
 
