@@ -22,9 +22,26 @@ search — on one chip and records a ``TRAIN_r05.json`` artifact:
 
 Memory note: at Q=65k the objective's (Q, R) intermediates are chunked
 with ``jax.checkpoint`` (16 chunks) so the reverse pass holds one
-chunk's residuals instead of ~20 GB of (65k, 1217) temporaries; the
-loss is accumulated in f64 so the zoom line search's Wolfe comparisons
-see decrements (~1e1) that f32 ulp at the ~5e7 total would swallow.
+chunk's residuals instead of ~20 GB of (65k, 1217) temporaries.
+
+Precision note (why all-f32 with a SHIFTED objective, not f64): the
+zoom line search's Wolfe comparisons must resolve per-iteration
+decrements (~1e1-1e2) against a total loss of ~5e7, which f32 ulp
+(~4 at 5e7) swallows.  The first cut kept f64 MASTER parameters for
+this — and measured 2.6-4.0 s/iteration of pure run time on the TPU
+plus XLA compile time LINEAR in the scan length (~13 s/iteration):
+the TPU has no native f64, so the whole optax L-BFGS state arithmetic
+ran software-emulated.  But the Wolfe test
+``f(x+td) <= f(x) + c1 t g.d`` is invariant under adding a CONSTANT to
+the objective, so instead the per-spectrum losses are shifted by a
+trace-time constant near their current mean: the summed value's
+magnitude stays ~1e4-1e6 (f32 ulp 1e-3-1e-1, far below the
+decrements), every array including the optimizer state stays f32, and
+the fit rides the measured-fast path (13.7 ms/iter microbench,
+scripts/train_throughput.py).  A second stage re-shifts at the
+stage-A optimum and RESTARTS the optimizer (fresh L-BFGS state, so no
+stale Wolfe cache sees the changed constant) — late-training
+decrements are then resolved at ulp(|value since re-shift|) ~ 1e-2.
 """
 
 import argparse
@@ -38,14 +55,6 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-
-# x64 ON so the f64 loss accumulator is real: the fit's data arrays
-# stay f32 (set explicitly below) and only the 16 chunk-sum adds + the
-# line search's scalar Wolfe comparisons run f64 — at Q=65k the total
-# loss is ~5e7 and an f32 accumulator's ~4-ulp noise (~±8) would swallow
-# the ~1e1 per-iteration decrements the zoom line search compares.
-jax.config.update("jax_enable_x64", True)
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -69,19 +78,19 @@ def generate_observations(params, learned, Q, seed0=1000, z_range=(2.3, 4.4)):
     return wl_l, fx_l, nv_l, pm_l, zs
 
 
-def chunked_objective_factory(n_chunks: int):
+def chunked_objective_factory(n_chunks: int, shift_per_spectrum: float = 0.0):
     """total_objective with the Q axis scanned in checkpointed chunks
-    and an f64 accumulator (see module docstring)."""
+    and each per-spectrum loss shifted by the trace-time constant
+    ``shift_per_spectrum`` (see module docstring Precision note: the
+    shift keeps the f32 value small enough that the zoom line search's
+    Wolfe comparisons resolve the decrements; the true loss is
+    ``value + Q * shift_per_spectrum``, restored on the host in f64)."""
     from gpy_dla_detection_tpu.models.training import batched_spectrum_losses
+
+    shift = float(shift_per_spectrum)
 
     def objective(p, flux_centered, lya_1pz, noise_variance, mask, zqso_1pz,
                   params):
-        # f64 master params (optax's linesearch state takes its value
-        # dtype from the params, so Wolfe bookkeeping runs f64), f32
-        # compute: the cast is differentiable, so gradients flow back
-        # to the f64 masters
-        p64 = p
-        p = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), p)
         Q = flux_centered.shape[0]
         assert Q % n_chunks == 0, (Q, n_chunks)
         Qc = Q // n_chunks
@@ -98,19 +107,44 @@ def chunked_objective_factory(n_chunks: int):
 
         def body(acc, x):
             fc, ly, v, m, zq = x
-            return acc + jnp.sum(losses_fn(p, fc, ly, v, m, zq),
-                                 dtype=jnp.float64), None
+            # subtract the shift PER SPECTRUM before summing: the chunk
+            # partial sums are then O(|per-spectrum deviation| * sqrt(Qc))
+            # instead of O(|mean loss| * Qc), so the f32 accumulation
+            # carries full precision where the line search needs it
+            return acc + jnp.sum(losses_fn(p, fc, ly, v, m, zq) - shift), None
 
-        total, _ = jax.lax.scan(body, jnp.float64(0.0), xs)
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
 
         # Kim et al. (2007) priors (reference: objective_lyseries.m:64-76)
-        tau_0 = jnp.exp(p64.log_tau_0)
-        beta = jnp.exp(p64.log_beta)
+        tau_0 = jnp.exp(p.log_tau_0)
+        beta = jnp.exp(p.log_beta)
         total = total + 0.5 * ((tau_0 - 0.0023) / 0.0007) ** 2
         total = total + 0.5 * ((beta - 3.65) / 0.21) ** 2
         return total
 
     return objective
+
+
+def mean_spectrum_loss(objective_args, params, n_chunks: int) -> float:
+    """Mean per-spectrum loss at the current parameters, accumulated on
+    the host in f64 (one chunked forward pass; used to pick the shift)."""
+    from gpy_dla_detection_tpu.models.training import batched_spectrum_losses
+
+    p, flux_centered, lya_1pz, noise_variance, mask, zqso_1pz = objective_args
+    Q = flux_centered.shape[0]
+    Qc = Q // n_chunks
+    fn = jax.jit(
+        lambda pp, fc, ly, v, m, zq: jnp.sum(
+            batched_spectrum_losses(pp, fc, ly, v, m, zq,
+                                    params.num_forest_lines)
+        )
+    )
+    total = 0.0
+    for c in range(n_chunks):
+        s = slice(c * Qc, (c + 1) * Qc)
+        total += float(fn(p, flux_centered[s], lya_1pz[s],
+                          noise_variance[s], mask[s], zqso_1pz[s]))
+    return total / Q
 
 
 def subspace_principal_angles(A, B):
@@ -209,7 +243,7 @@ def main():
 
     from gpy_dla_detection_tpu.data.synthetic import synthetic_learned_model
     from gpy_dla_detection_tpu.models.training import (
-        TrainingParams, fit_lbfgs, initialize, prepare_training_set)
+        TrainingParams, fit_lbfgs_stepwise, initialize, prepare_training_set)
     from gpy_dla_detection_tpu.models.learned import LearnedModel
     from gpy_dla_detection_tpu.params import Parameters
 
@@ -259,16 +293,52 @@ def main():
         jnp.asarray(train.mask),
         jnp.asarray(train.zqso_1pz, dtype),
     )
-    # f64 MASTER parameters (see chunked_objective_factory): heavy math
-    # runs f32, optimizer state + Wolfe comparisons run f64
-    p0 = TrainingParams(*[jnp.asarray(x, jnp.float64) for x in p0])
-    objective = chunked_objective_factory(args.chunks)
+    p0 = TrainingParams(*[jnp.asarray(x, jnp.float32) for x in p0])
+    Q = args.num_spectra
+
+    # Two-stage shifted-f32 schedule (see module docstring): stage A at
+    # the p0 shift burns down the bulk of the loss; stage B re-shifts at
+    # the stage-A optimum and RESTARTS L-BFGS, so the late decrements
+    # are resolved at ulp(|value since re-shift|).
+    stage_a = min(args.iters, max(100, args.iters // 5))
+    stage_b = args.iters - stage_a
 
     t0 = time.time()
-    p_final, values = fit_lbfgs(
-        p0, *fit_args, params, args.iters, objective=objective
+    shift0 = mean_spectrum_loss((p0, *fit_args), params, args.chunks)
+    print(f"[train_fullscale] shift A = {shift0:.3f} / spectrum", flush=True)
+
+    def progress(tag):
+        t_start = time.time()
+
+        def cb(i, v):
+            print(f"[train_fullscale] {tag} iter {i + 1}: shifted loss "
+                  f"{v:.3f} ({(time.time() - t_start) / (i + 1) * 1e3:.0f} "
+                  f"ms/iter)", flush=True)
+            return False
+
+        return cb
+
+    p_a, values_a = fit_lbfgs_stepwise(
+        p0, *fit_args, params, stage_a,
+        objective=chunked_objective_factory(args.chunks, shift0),
+        callback=progress("stage A"), callback_every=100,
     )
-    values = np.asarray(values)
+    values = np.float64(values_a) + Q * shift0
+
+    if stage_b > 0:
+        shift1 = mean_spectrum_loss((p_a, *fit_args), params, args.chunks)
+        print(f"[train_fullscale] shift B = {shift1:.3f} / spectrum "
+              f"(stage A moved the mean loss by {shift1 - shift0:.3f})",
+              flush=True)
+        p_final, values_b = fit_lbfgs_stepwise(
+            p_a, *fit_args, params, stage_b,
+            objective=chunked_objective_factory(args.chunks, shift1),
+            callback=progress("stage B"), callback_every=100,
+        )
+        values = np.concatenate([values, np.float64(values_b) + Q * shift1])
+    else:
+        p_final = p_a
+
     p_final = jax.tree.map(np.asarray, p_final)
     t_fit = time.time() - t0
     assert np.isfinite(values).all(), "loss trajectory has non-finite entries"
@@ -330,7 +400,13 @@ def main():
         "rank_k": int(params.k),
         "num_iterations": args.iters,
         "chunks": args.chunks,
-        "dtype": "float32 (f64 loss accumulator)",
+        "dtype": "float32 (shifted objective; two-stage reshift)",
+        "shift_schedule": {
+            "stage_a_iters": int(stage_a),
+            "stage_b_iters": int(stage_b),
+            "shift_a_per_spectrum": round(shift0, 6),
+            "shift_b_per_spectrum": round(shift1, 6) if stage_b > 0 else None,
+        },
         "wall_s": {
             "generate": round(t_gen, 1),
             "prepare": round(t_prep, 1),

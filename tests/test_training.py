@@ -230,3 +230,53 @@ def test_host_mean_flux_twin_matches_jnp_op():
         )
         got = _mean_flux_suppression_np(obs_wl, beta, tau_0, z, 31)
         np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_fit_lbfgs_stepwise_matches_scan_variant():
+    """The step-granular fitter (one jitted step in a Python loop —
+    what the reference-scale run uses, scripts/train_fullscale.py) must
+    walk the same trajectory as the whole-scan ``fit_lbfgs``."""
+    from gpy_dla_detection_tpu.models.training import (
+        fit_lbfgs,
+        fit_lbfgs_stepwise,
+    )
+
+    params = Parameters(k=4)
+    truth = synthetic_learned_model(params, seed=5)
+    wl_list, fx_list, nv_list, pm_list, zs = [], [], [], [], []
+    rng = np.random.default_rng(2)
+    for i in range(6):
+        z = float(rng.uniform(2.5, 3.4))
+        wl, fx, nv, pm = synthetic_observation(
+            params, truth, z, seed=400 + i, noise_level=0.05
+        )
+        wl_list.append(wl)
+        fx_list.append(fx)
+        nv_list.append(nv)
+        pm_list.append(pm)
+        zs.append(z)
+    train = prepare_training_set(params, wl_list, fx_list, nv_list, pm_list, zs)
+    mu, p0 = initialize(params, train)
+    flux_centered = jnp.asarray(np.where(train.mask, train.flux - mu, 0.0))
+    fit_args = (
+        flux_centered,
+        jnp.asarray(train.lya_1pz),
+        jnp.asarray(train.noise_variance),
+        jnp.asarray(train.mask),
+        jnp.asarray(train.zqso_1pz),
+    )
+
+    calls = []
+    p_sw, v_sw = fit_lbfgs_stepwise(
+        p0, *fit_args, params, 8,
+        callback=lambda i, v: calls.append((i, v)) or False,
+        callback_every=4,
+    )
+    p_sc, v_sc = fit_lbfgs(p0, *fit_args, params, 8)
+
+    np.testing.assert_allclose(v_sw, np.asarray(v_sc), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(p_sw.M), np.asarray(p_sc.M), rtol=0, atol=1e-10
+    )
+    assert [i for i, _ in calls] == [3, 7]
+    assert v_sw[-1] < v_sw[0]
