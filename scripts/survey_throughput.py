@@ -92,6 +92,11 @@ def main():
     ap.add_argument("--inflight", type=int, default=3)
     ap.add_argument("--out", default="/tmp/survey_tp")
     ap.add_argument("--skip-batches", type=int, default=2)
+    ap.add_argument(
+        "--extra", nargs="*", default=[],
+        help="extra args forwarded to run_bayes_select "
+        "(e.g. --extra --no-sample-lls for the catalog-lite transport)",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -133,6 +138,7 @@ def main():
                     "--batch-size", str(args.batch_size),
                     "--inflight", str(args.inflight),
                     "--output", out_h5,
+                    *args.extra,
                 ],
                 env=env,
                 cwd=REPO,
