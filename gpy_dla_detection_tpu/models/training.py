@@ -378,28 +378,35 @@ def fit_lbfgs_stepwise(
     import optax
 
     obj = total_objective if objective is None else objective
-
-    def loss_fn(p):
-        return obj(
-            p, flux_centered, lya_1pz, noise_variance, mask, zqso_1pz, params
-        )
-
     opt = optax.lbfgs()
-    value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
+    # The training arrays are threaded through the jitted step as
+    # ARGUMENTS, never captured: a closure would bake them into the
+    # lowered program as constants, and at reference scale (65k x 1217
+    # x 5 arrays ~ 1.6 GB) the compile request itself becomes the
+    # bottleneck — measured: the captured-constant variant's compile
+    # time scaled with Q and the axon remote-compile service dropped
+    # the connection ("broken pipe") on the full-scale program, while
+    # the argument-passing variant compiles in minutes.
     @jax.jit
-    def step(p, state):
-        value, grad = value_and_grad(p, state=state)
+    def step(p, state, data):
+        def loss_fn(pp):
+            return obj(pp, *data, params)
+
+        value, grad = optax.value_and_grad_from_state(loss_fn)(
+            p, state=state
+        )
         updates, state = opt.update(
             grad, state, p, value=value, grad=grad, value_fn=loss_fn
         )
         p = optax.apply_updates(p, updates)
         return p, state, value
 
+    data = (flux_centered, lya_1pz, noise_variance, mask, zqso_1pz)
     p, state = p0, opt.init(p0)
     values = []
     for i in range(num_iterations):
-        p, state, v = step(p, state)
+        p, state, v = step(p, state, data)
         values.append(v)
         if callback is not None and (i + 1) % callback_every == 0:
             if callback(i, float(v)):
